@@ -1,0 +1,8 @@
+from .rotations import (
+    batch_rodrigues,
+    rotation_6d_to_matrix,
+    matrix_to_rotation_6d,
+    rot_mat_to_euler_y,
+)
+from .flame import FlameAssets, FlameModel, lbs, blend_shapes, vertices2landmarks
+from .projection import batch_orth_proj
