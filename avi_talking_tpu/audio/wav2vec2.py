@@ -1,0 +1,262 @@
+"""wav2vec2 audio encoder in flax.linen, TPU-first.
+
+Re-implementation of the HF ``Wav2Vec2Model`` (post-LN "base" layout) with
+the reference's 50->25 fps temporal resampling between the conv feature
+extractor and the feature projection — the layout used by both the stage-1
+FaceFormer (/root/reference/models/lib/wav2vec.py:76-156) and EMOTE's
+Wav2Vec2ModelResampled
+(/root/reference/third_party/inferno/inferno/models/temporal/AudioEncoders.py:27-101).
+
+TPU notes:
+  * the 7-layer conv frontend runs as `lax.conv_general_dilated` NLC convs —
+    XLA lowers these onto the MXU; strides are static so shapes stay static
+    under jit (16000*k samples -> 50*k frames -> resample to 25*k),
+  * the transformer is 12 post-LN layers at width 768 (95M params); packed
+    QKV is not used here to keep HF weight import 1:1, but all four
+    projections are plain Dense -> single MXU matmuls,
+  * everything takes an optional ``output_len`` (static int) so the whole
+    audio->features stage jits once per length bucket.
+
+Parity: tests/test_wav2vec2_parity.py imports weights from a
+randomly-initialised torch HF model and requires <1e-4 agreement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resample import linear_interpolate
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    """Subset of HF Wav2Vec2Config needed for the base (post-LN) model."""
+
+    conv_dim: Sequence[int] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    feat_extract_norm: str = "group"  # "group" for base, "layer" for large
+    do_stable_layer_norm: bool = False
+
+    @classmethod
+    def tiny(cls, hidden: int = 32, layers: int = 2, heads: int = 4) -> "Wav2Vec2Config":
+        """Small config for tests (matches an HF config with the same fields)."""
+        return cls(
+            conv_dim=(16, 16, 16),
+            conv_kernel=(10, 3, 3),
+            conv_stride=(5, 2, 2),
+            hidden_size=hidden,
+            num_hidden_layers=layers,
+            num_attention_heads=heads,
+            intermediate_size=hidden * 4,
+            num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=2,
+        )
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class _ConvLayer(nn.Module):
+    cfg: Wav2Vec2Config
+    layer_id: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, L, C_in)
+        c = self.cfg
+        x = nn.Conv(
+            features=c.conv_dim[self.layer_id],
+            kernel_size=(c.conv_kernel[self.layer_id],),
+            strides=(c.conv_stride[self.layer_id],),
+            padding="VALID",
+            use_bias=c.conv_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        if self.layer_id == 0 and c.feat_extract_norm == "group":
+            # HF GroupNorm(num_groups=C, num_channels=C): per-channel norm
+            # over the time axis.
+            x = nn.GroupNorm(
+                num_groups=c.conv_dim[0],
+                epsilon=c.layer_norm_eps,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="layer_norm",
+            )(x)
+        elif c.feat_extract_norm == "layer":
+            x = nn.LayerNorm(
+                epsilon=c.layer_norm_eps,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="layer_norm",
+            )(x)
+        return _gelu(x)
+
+
+class FeatureExtractor(nn.Module):
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_values: jax.Array) -> jax.Array:  # (B, samples)
+        x = input_values[..., None].astype(self.dtype)  # (B, L, 1)
+        for i in range(len(self.cfg.conv_dim)):
+            x = _ConvLayer(
+                self.cfg, i, self.dtype, self.param_dtype, name=f"conv_layers_{i}"
+            )(x)
+        return x  # (B, frames, conv_dim[-1])
+
+
+class FeatureProjection(nn.Module):
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.LayerNorm(
+            epsilon=self.cfg.layer_norm_eps,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="layer_norm",
+        )(x)
+        return nn.Dense(
+            self.cfg.hidden_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="projection",
+        )(x)
+
+
+class PositionalConvEmbedding(nn.Module):
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, T, D)
+        c = self.cfg
+        k = c.num_conv_pos_embeddings
+        pad = k // 2
+        h = nn.Conv(
+            features=c.hidden_size,
+            kernel_size=(k,),
+            padding=((pad, pad),),
+            feature_group_count=c.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        if k % 2 == 0:
+            h = h[:, :-1]  # HF Wav2Vec2SamePadLayer removes one for even kernels
+        return _gelu(h)
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN transformer layer (HF Wav2Vec2EncoderLayer, base model)."""
+
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        c = self.cfg
+        d, h = c.hidden_size, c.num_attention_heads
+        head_dim = d // h
+
+        q = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="attn_q")(x)
+        k = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="attn_k")(x)
+        v = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="attn_v")(x)
+        B, T = x.shape[:2]
+        q = q.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3) * (head_dim**-0.5)
+        k = k.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhts,bhsd->bhtd", attn, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, d)
+        ctx = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="attn_out")(ctx)
+
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="layer_norm",
+        )(x + ctx)
+        ff = nn.Dense(
+            c.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="intermediate_dense",
+        )(x)
+        ff = _gelu(ff)
+        ff = nn.Dense(
+            d, dtype=self.dtype, param_dtype=self.param_dtype, name="output_dense"
+        )(ff)
+        return nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="final_layer_norm",
+        )(x + ff)
+
+
+class Wav2Vec2Model(nn.Module):
+    """Conv extractor -> (optional resample) -> projection -> transformer.
+
+    ``__call__(input_values (B, samples), output_len)`` returns features
+    (B, output_len or native frames, hidden_size).
+    """
+
+    cfg: Wav2Vec2Config
+    model_expected_fps: int = 50
+    target_fps: int = 25
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_values: jax.Array,
+        output_len: Optional[int] = None,
+        resample: bool = True,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        c = self.cfg
+        x = FeatureExtractor(c, self.dtype, self.param_dtype, name="feature_extractor")(
+            input_values
+        )
+        if resample and (
+            self.model_expected_fps != self.target_fps or output_len is not None
+        ):
+            if output_len is None:
+                output_len = int(
+                    x.shape[1] / self.model_expected_fps * self.target_fps
+                )
+            x = linear_interpolate(x, output_len, axis=1)
+        x = FeatureProjection(c, self.dtype, self.param_dtype, name="feature_projection")(x)
+
+        pos = PositionalConvEmbedding(c, self.dtype, self.param_dtype, name="pos_conv_embed")(x)
+        x = x + pos
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="encoder_layer_norm",
+        )(x)
+        for i in range(c.num_hidden_layers):
+            x = EncoderLayer(c, self.dtype, self.param_dtype, name=f"layers_{i}")(
+                x, deterministic
+            )
+        return x

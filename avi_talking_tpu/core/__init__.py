@@ -5,4 +5,10 @@ from .rotations import (
     rot_mat_to_euler_y,
 )
 from .flame import FlameAssets, FlameModel, lbs, blend_shapes, vertices2landmarks
+from .assets import (
+    convert_flame_pickle,
+    load_flame_assets,
+    synthetic_assets,
+    default_assets_path,
+)
 from .projection import batch_orth_proj

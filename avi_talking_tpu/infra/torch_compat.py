@@ -98,8 +98,9 @@ def conv1d_params(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
 
 
 def conv_transpose1d_params(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
-    """torch nn.ConvTranspose1d (I, O, K) -> flax nn.ConvTranspose kernel (K, I, O)."""
-    out = {"kernel": to_np(sd[f"{prefix}weight"]).transpose(2, 0, 1)}
+    """torch nn.ConvTranspose1d (I, O, K) -> flax nn.ConvTranspose with
+    ``transpose_kernel=True``: kernel layout (K, O, I)."""
+    out = {"kernel": np.ascontiguousarray(to_np(sd[f"{prefix}weight"]).transpose(2, 1, 0))}
     if f"{prefix}bias" in sd:
         out["bias"] = to_np(sd[f"{prefix}bias"])
     return out

@@ -1,0 +1,8 @@
+from .brain import BrainNetwork
+from .prior_transformer import PriorTransformerNetwork
+from .diffusion import NoiseScheduler, DiffusionPrior
+from .conditioning import EmotionStyleEncoder, StyleCondition
+from .flint import FlintDecoder, FlintConfig
+from .emote import EmoteConfig, EmoteTalkingHead
+from .faceformer import FaceFormerConfig, FaceFormerCoeff
+from .clip_text import ClipTextConfig, ClipTextModel, clip_text_params_from_torch

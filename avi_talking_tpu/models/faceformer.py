@@ -1,0 +1,272 @@
+"""Stage-1 FaceFormer: autoregressive audio -> FLAME-coefficient decoder.
+
+TPU-native rebuild of the reference's FaceFormer family
+(/root/reference/models/faceformer.py:128-733 coeff variant; the vertex
+variant differs only in ``vertice_dim`` and template handling). The AR core:
+
+  audio -> wav2vec2 (resampled to frame count) -> Dense(768->D) memory
+  optional conditioning merge: concat[eye(6), emo(30), audio(D), ref-style(6)]
+      -> Dense(->D)   (v_merge2hidden, faceformer.py:185,371-372)
+  decode: token t-1 -> Dense(coeff->D) -> PPE -> 1-layer transformer decoder
+      with periodised-ALiBi self-attn bias + diagonal audio alignment mask
+      -> Dense(D->coeff, zero-init)
+
+The reference's inference re-runs the full prefix every frame — O(T^2)
+decoder forwards (faceformer.py:393-409). Here ``predict`` is a KV-cached
+``lax.scan``: memory K/V are projected once, each step does O(1) new-token
+work against the cache — the honest TPU-idiomatic replacement (SURVEY.md §7).
+
+The image-based conditioning encoders (PD-FGC FanEncoder) are a separate
+host/model component; this module accepts their (B, T, 6)/(B, T, 30)
+embeddings as inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..audio.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+from ..ops.positional import (
+    NEG_INF,
+    alibi_slopes,
+    enc_dec_alignment_bias,
+    faceformer_bias,
+    periodic_positional_encoding,
+)
+from ..ops.transformer import TransformerDecoder
+
+
+@dataclasses.dataclass(frozen=True)
+class FaceFormerConfig:
+    vertice_dim: int = 53  # 50 exp + 3 jaw (normalised coeff space)
+    feature_dim: int = 128
+    period: int = 25
+    nhead: int = 4
+    num_decoder_layers: int = 1
+    max_seq_len: int = 600
+    with_condition_merge: bool = True  # w_fan==1 path
+    eye_dim: int = 6
+    emo_dim: int = 30
+    style_dim: int = 6
+    wav2vec2: Wav2Vec2Config = dataclasses.field(default_factory=Wav2Vec2Config)
+
+    @classmethod
+    def tiny(cls) -> "FaceFormerConfig":
+        return cls(
+            vertice_dim=9,
+            feature_dim=32,
+            period=5,
+            max_seq_len=64,
+            wav2vec2=Wav2Vec2Config.tiny(),
+        )
+
+
+class FaceFormerCoeff(nn.Module):
+    cfg: FaceFormerConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.audio_encoder = Wav2Vec2Model(c.wav2vec2, name="audio_encoder", **dd)
+        self.audio_feature_map = nn.Dense(c.feature_dim, name="audio_feature_map", **dd)
+        self.vertice_map = nn.Dense(c.feature_dim, name="vertice_map", **dd)
+        self.vertice_map_r = nn.Dense(
+            c.vertice_dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="vertice_map_r",
+            **dd,
+        )
+        self.obj_embedding = self.param(
+            "obj_embedding", nn.initializers.zeros, (1, c.feature_dim), self.param_dtype
+        )
+        self.transformer_decoder = TransformerDecoder(
+            num_layers=c.num_decoder_layers,
+            d_model=c.feature_dim,
+            nhead=c.nhead,
+            dim_feedforward=2 * c.feature_dim,
+            activation="relu",
+            name="transformer_decoder",
+            **dd,
+        )
+        if c.with_condition_merge:
+            self.coeff2style = nn.Dense(c.style_dim, name="coeff2style", **dd)
+            self.v_merge2hidden = nn.Dense(c.feature_dim, name="v_merge2hidden", **dd)
+
+    # ----- shared encode --------------------------------------------------
+
+    def encode_audio(self, audio: jax.Array, frame_num: int) -> jax.Array:
+        """(B, samples) normalised audio -> (B, frame_num, D) memory."""
+        feats = self.audio_encoder(audio, output_len=frame_num)
+        return self.audio_feature_map(feats)
+
+    def merge_condition(
+        self,
+        hidden_audio: jax.Array,  # (B, T, D)
+        eye_embed: jax.Array,  # (B, T, 6)
+        emo_embed: jax.Array,  # (B, T, 30)
+        ref_coeff: jax.Array,  # (B, 1, vertice_dim)
+    ) -> jax.Array:
+        ref_style = self.coeff2style(ref_coeff)
+        ref_style = jnp.broadcast_to(
+            ref_style, hidden_audio.shape[:2] + (ref_style.shape[-1],)
+        )
+        merged = jnp.concatenate(
+            [eye_embed, emo_embed, hidden_audio, ref_style], axis=-1
+        )
+        return self.v_merge2hidden(merged)
+
+    # ----- teacher-forced training forward ---------------------------------
+
+    def __call__(
+        self,
+        audio: jax.Array,  # (B, samples) normalised
+        coeffs: jax.Array,  # (B, T, vertice_dim) normalised targets
+        eye_embed: Optional[jax.Array] = None,
+        emo_embed: Optional[jax.Array] = None,
+        ref_coeff: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        c = self.cfg
+        B, T = coeffs.shape[:2]
+        memory = self.encode_audio(audio, T)
+        if c.with_condition_merge and eye_embed is not None:
+            memory = self.merge_condition(memory, eye_embed, emo_embed, ref_coeff)
+
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(coeffs[:, :1]), coeffs[:, :-1]], axis=1
+        )
+        x = self.vertice_map(shifted)
+        x = x + periodic_positional_encoding(T, c.feature_dim, c.period, x.dtype)[None]
+        tgt_bias = faceformer_bias(c.nhead, T, c.period, dtype=jnp.float32)
+        mem_bias = enc_dec_alignment_bias(T, T, 1, dtype=jnp.float32)
+        out = self.transformer_decoder(
+            x, memory, tgt_bias, mem_bias, deterministic=deterministic
+        )
+        return self.vertice_map_r(out)
+
+    # ----- KV-cached autoregressive inference ------------------------------
+
+    def predict(
+        self,
+        audio: jax.Array,  # (B, samples)
+        frame_num: int,
+        eye_embed: Optional[jax.Array] = None,
+        emo_embed: Optional[jax.Array] = None,
+        ref_coeff: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """(B, frame_num, vertice_dim) via one lax.scan with a KV cache.
+
+        Matches the reference AR semantics (faceformer.py:393-409): step 0
+        token = obj_embedding; later tokens = vertice_map(previous output);
+        every token gets the PPE of its position.
+        """
+        c = self.cfg
+        T = frame_num
+        memory = self.encode_audio(audio, T)
+        if c.with_condition_merge and eye_embed is not None:
+            memory = self.merge_condition(memory, eye_embed, emo_embed, ref_coeff)
+        B = memory.shape[0]
+        D, H = c.feature_dim, c.nhead
+        hd = D // H
+        assert c.num_decoder_layers == 1, "KV-cached decode is built for 1 layer"
+
+        p = self.variables["params"]["transformer_decoder"]["layers_0"]
+
+        def lin(px, x):
+            return x @ px["kernel"].astype(x.dtype) + px["bias"].astype(x.dtype)
+
+        def ln(px, x, eps=1e-5):
+            mu = x.mean(-1, keepdims=True)
+            var = jnp.var(x, axis=-1, keepdims=True)
+            return (x - mu) * jax.lax.rsqrt(var + eps) * px["scale"].astype(
+                x.dtype
+            ) + px["bias"].astype(x.dtype)
+
+        def mha_proj(attn_p, x, part):
+            w = attn_p["in_proj_weight"].astype(x.dtype)
+            b = attn_p["in_proj_bias"].astype(x.dtype)
+            wq, wk, wv = jnp.split(w, 3, axis=0)
+            bq, bk, bv = jnp.split(b, 3, axis=0)
+            return {
+                "q": x @ wq.T + bq,
+                "k": x @ wk.T + bk,
+                "v": x @ wv.T + bv,
+            }[part]
+
+        sa, ca = p["self_attn"], p["multihead_attn"]
+        # memory K/V projected ONCE (B, T, D)
+        mem_k = mha_proj(ca, memory, "k").reshape(B, T, H, hd)
+        mem_v = mha_proj(ca, memory, "v").reshape(B, T, H, hd)
+
+        ppe = periodic_positional_encoding(T, D, c.period, memory.dtype)
+        slopes = jnp.asarray(alibi_slopes(H), memory.dtype)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, memory.dtype))
+
+        def step(carry, i):
+            token_emb, k_cache, v_cache = carry
+            # token_emb: (B, D) current input token (pre-PPE)
+            x = token_emb + ppe[i]
+            # --- self attention against cache + self
+            q = mha_proj(sa, x, "q").reshape(B, H, hd)
+            k_new = mha_proj(sa, x, "k").reshape(B, H, hd)
+            v_new = mha_proj(sa, x, "v").reshape(B, H, hd)
+            k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k_new, i, axis=1)
+            v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v_new, i, axis=1)
+            j = jnp.arange(T)
+            logits = jnp.einsum("bhd,bjhd->bhj", q * scale, k_cache.reshape(B, T, H, hd))
+            dist = jnp.maximum(i - j, 0) // c.period
+            bias = -slopes[None, :, None] * dist[None, None].astype(logits.dtype)
+            logits = logits + bias
+            logits = jnp.where((j > i)[None, None], NEG_INF, logits)
+            attn = jax.nn.softmax(logits, axis=-1)
+            sa_out = jnp.einsum("bhj,bjhd->bhd", attn, v_cache.reshape(B, T, H, hd))
+            sa_out = lin(
+                {
+                    "kernel": sa["out_proj_weight"].astype(x.dtype).T,
+                    "bias": sa["out_proj_bias"],
+                },
+                sa_out.reshape(B, D),
+            )
+            x = ln(p["norm1"], x + sa_out)
+            # --- cross attention: alignment mask = only memory frame i
+            q2 = mha_proj(ca, x, "q").reshape(B, H, hd)
+            k_i = jax.lax.dynamic_index_in_dim(mem_k, i, axis=1, keepdims=False)
+            v_i = jax.lax.dynamic_index_in_dim(mem_v, i, axis=1, keepdims=False)
+            # single allowed key -> softmax weight 1 -> output = V_i
+            del q2, k_i
+            ca_out = lin(
+                {
+                    "kernel": ca["out_proj_weight"].astype(x.dtype).T,
+                    "bias": ca["out_proj_bias"],
+                },
+                v_i.reshape(B, D),
+            )
+            x = ln(p["norm2"], x + ca_out)
+            # --- feed forward
+            h = jax.nn.relu(lin(p["linear1"], x))
+            h = lin(p["linear2"], h)
+            x = ln(p["norm3"], x + h)
+            out = x @ self.variables["params"]["vertice_map_r"]["kernel"].astype(
+                x.dtype
+            ) + self.variables["params"]["vertice_map_r"]["bias"].astype(x.dtype)
+            vm = self.variables["params"]["vertice_map"]
+            next_token = out @ vm["kernel"].astype(x.dtype) + vm["bias"].astype(x.dtype)
+            return (next_token, k_cache, v_cache), out
+
+        token0 = jnp.broadcast_to(
+            self.obj_embedding.astype(memory.dtype), (B, D)
+        )
+        k_cache = jnp.zeros((B, T, H * hd), memory.dtype).reshape(B, T, H, hd)
+        v_cache = jnp.zeros_like(k_cache)
+        (_, _, _), outs = jax.lax.scan(
+            step, (token0, k_cache, v_cache), jnp.arange(T)
+        )
+        return outs.transpose(1, 0, 2)  # (B, T, vertice_dim)

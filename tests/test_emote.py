@@ -1,0 +1,83 @@
+"""EMOTE talking head: end-to-end shapes, style paths, FLAME integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avi_talking_tpu.core import synthetic_assets
+from avi_talking_tpu.models import EmoteConfig, EmoteTalkingHead
+from avi_talking_tpu.models.conditioning import StyleCondition
+
+
+@pytest.fixture(scope="module")
+def tiny_head():
+    cfg = EmoteConfig.tiny()
+    head = EmoteTalkingHead(cfg, flame_assets=synthetic_assets(n_shape=8, n_exp=6))
+    B, T = 2, 8  # T multiple of latent frame size 4
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, T, 640)).astype(np.float32)
+    )
+    cond = StyleCondition.make(
+        emotion_idx=5, intensity_idx=2, identity_idx=1, batch=B,
+        n_identities=4, shape_dim=8,
+    )
+    params = head.init(jax.random.PRNGKey(0), audio, cond)
+    return cfg, head, params, audio, cond
+
+
+def test_forward_shapes(tiny_head):
+    cfg, head, params, audio, cond = tiny_head
+    out = head.apply(params, audio, cond)
+    B, T = audio.shape[:2]
+    assert out["exp"].shape == (B, T, 6)
+    assert out["jaw"].shape == (B, T, 3)
+    assert out["style_emb"].shape == (B, cfg.feature_dim)
+    assert out["vertices"].shape == (B, T, 128, 3)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_external_style_emb_overrides_condition(tiny_head):
+    cfg, head, params, audio, cond = tiny_head
+    B = audio.shape[0]
+    style = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, cfg.feature_dim)).astype(np.float32)
+    )
+    out = head.apply(params, audio, style_emb=style)
+    np.testing.assert_allclose(np.asarray(out["style_emb"]), np.asarray(style))
+    out_cond = head.apply(params, audio, cond)
+    assert not np.allclose(np.asarray(out["exp"]), np.asarray(out_cond["exp"]))
+
+
+def test_style_embedding_method_is_linear(tiny_head):
+    cfg, head, params, audio, cond = tiny_head
+    emb = head.apply(params, cond, method=EmoteTalkingHead.style_embedding)
+    assert emb.shape == (audio.shape[0], cfg.feature_dim)
+    # linearity: 2x condition -> (2x emb - bias) relationship holds for Dense
+    cond2 = StyleCondition(
+        expression=cond.expression * 2,
+        intensity=cond.intensity * 2,
+        identity=cond.identity * 2,
+        shape=cond.shape * 2,
+    )
+    emb2 = head.apply(params, cond2, method=EmoteTalkingHead.style_embedding)
+    bias = params["params"]["style_encoder"]["map"]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(emb2 - bias), np.asarray(2 * (emb - bias)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_jit_forward(tiny_head):
+    cfg, head, params, audio, cond = tiny_head
+    fwd = jax.jit(lambda p, a, s: head.apply(p, a, style_emb=s))
+    style = jnp.zeros((audio.shape[0], cfg.feature_dim))
+    out = fwd(params, audio, style)
+    assert out["exp"].shape[1] == audio.shape[1]
+
+
+def test_frame_count_must_match_latent_multiple(tiny_head):
+    cfg, head, params, audio, cond = tiny_head
+    bad = audio[:, :7]  # not a multiple of 4
+    with pytest.raises(AssertionError):
+        head.apply(params, bad, cond)

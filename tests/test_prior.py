@@ -1,0 +1,131 @@
+"""Diffusion prior: scheduler math, network shapes/CFG, jitted sample loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avi_talking_tpu.models import BrainNetwork, DiffusionPrior, NoiseScheduler
+from avi_talking_tpu.models.prior_transformer import (
+    PriorTransformerNetwork,
+    sinusoidal_time_embedding,
+)
+
+
+def test_cosine_schedule_properties():
+    s = NoiseScheduler.create(100)
+    assert s.num_timesteps == 100
+    assert (s.betas > 0).all() and (s.betas <= 0.999).all()
+    # alphas_cumprod strictly decreasing from ~1
+    assert s.alphas_cumprod[0] > 0.99
+    assert (np.diff(s.alphas_cumprod) < 0).all()
+    # q_posterior at x_start == x_t == 0 is 0
+    mean, logvar = s.q_posterior(jnp.zeros((2, 1, 4)), jnp.zeros((2, 1, 4)),
+                                 jnp.asarray([5, 50]))
+    assert np.allclose(np.asarray(mean), 0)
+    assert np.isfinite(np.asarray(logvar)).all()
+
+
+def test_q_sample_matches_formula():
+    s = NoiseScheduler.create(100)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((3, 1, 8)).astype(np.float32)
+    noise = rng.standard_normal((3, 1, 8)).astype(np.float32)
+    t = np.asarray([0, 42, 99])
+    got = np.asarray(s.q_sample(jnp.asarray(x0), jnp.asarray(t), jnp.asarray(noise)))
+    for b in range(3):
+        expected = (
+            np.sqrt(s.alphas_cumprod[t[b]]) * x0[b]
+            + np.sqrt(1 - s.alphas_cumprod[t[b]]) * noise[b]
+        )
+        np.testing.assert_allclose(got[b], expected, rtol=1e-5, atol=1e-6)
+
+
+def _prior_setup(dim=32):
+    net = PriorTransformerNetwork(dim=dim, depth=2, heads=4, dim_head=8)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 1, dim))
+    t = jnp.zeros((2,), jnp.int32)
+    txt = jnp.ones((2, dim))
+    params = net.init(rng, x, t, txt)
+    return net, params
+
+
+def test_network_output_shape_and_cfg():
+    net, params = _prior_setup()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 32))
+    t = jnp.asarray([3, 7])
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    out = net.apply(params, x, t, txt)
+    assert out.shape == (2, 1, 32)
+    # unconditional pass differs from conditional
+    out_null = net.apply(
+        params, x, t, txt, brain_cond_drop_prob=1.0, image_cond_drop_prob=1.0
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(out_null))
+    # hard-dropped output ignores the text
+    out_null2 = net.apply(
+        params, x, t, txt * 5.0, brain_cond_drop_prob=1.0, image_cond_drop_prob=1.0
+    )
+    np.testing.assert_allclose(np.asarray(out_null), np.asarray(out_null2), atol=1e-6)
+    # cond-scale combination
+    scaled = net.forward_with_cond_scale(params, x, t, txt, cond_scale=3.5)
+    expected = np.asarray(out_null) + (np.asarray(out) - np.asarray(out_null)) * 3.5
+    np.testing.assert_allclose(np.asarray(scaled), expected, rtol=2e-4, atol=2e-5)
+
+
+def test_time_embedding_matches_dalle2_formula():
+    t = jnp.asarray([0.0, 1.0, 50.0])
+    emb = np.asarray(sinusoidal_time_embedding(t, 16))
+    half = 8
+    freqs = np.exp(np.arange(half) * -(np.log(10000.0) / (half - 1)))
+    np.testing.assert_allclose(emb[1, :half], np.sin(freqs), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(emb[1, half:], np.cos(freqs), rtol=1e-5, atol=1e-6)
+
+
+def test_sample_loop_jits_and_is_deterministic():
+    net, params = _prior_setup()
+    prior = DiffusionPrior(net=net, scheduler=NoiseScheduler.create(20))
+    txt = jax.random.normal(jax.random.PRNGKey(3), (2, 32))
+
+    sample = jax.jit(
+        lambda p, txt, rng: prior.p_sample_loop(p, (2, 1, 32), txt, rng)
+    )
+    out1 = sample(params, txt, jax.random.PRNGKey(7))
+    out2 = sample(params, txt, jax.random.PRNGKey(7))
+    out3 = sample(params, txt, jax.random.PRNGKey(8))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+    assert np.isfinite(np.asarray(out1)).all()
+    # magnitude should be in the scaled-embedding regime, not exploded
+    assert np.abs(np.asarray(out1)).max() < 1e3
+
+
+def test_loss_and_grads_finite():
+    net, params = _prior_setup()
+    prior = DiffusionPrior(net=net, scheduler=NoiseScheduler.create(20))
+    txt = jax.random.normal(jax.random.PRNGKey(4), (4, 32))
+    img = jax.random.normal(jax.random.PRNGKey(5), (4, 32))
+
+    def loss_fn(p):
+        loss, _ = prior.loss(p, txt, img, jax.random.PRNGKey(6))
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # null embeds receive gradient through the cond-drop path
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in flat)
+
+
+def test_brain_network_shapes():
+    bn = BrainNetwork(out_dim=16, in_dim=24, clip_size=16, hidden=64, n_blocks=2)
+    params = bn.init(jax.random.PRNGKey(0), jnp.zeros((2, 24)))
+    x, proj = bn.apply(params, jnp.ones((3, 24)))
+    assert x.shape == (3, 16)
+    assert proj.shape == (3, 1, 16)
+    bn2 = BrainNetwork(out_dim=16, in_dim=24, clip_size=16, hidden=64, n_blocks=2,
+                       use_projector=False)
+    params2 = bn2.init(jax.random.PRNGKey(0), jnp.zeros((2, 24)))
+    x2, proj2 = bn2.apply(params2, jnp.ones((3, 24)))
+    assert x2.shape == (3, 16) and proj2 is None
