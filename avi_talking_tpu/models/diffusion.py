@@ -222,4 +222,7 @@ class DiffusionPrior:
         )
         if self.sampling_final_clamp_l2norm:
             x = l2norm(x) * self.embed_scale
-        return x
+        # dalle2's public p_sample_loop un-scales the sampled embedding
+        # (training targets were scaled by image_embed_scale); the reference
+        # relies on this when feeding the sample to EMOTE as a style emb.
+        return x / self.embed_scale

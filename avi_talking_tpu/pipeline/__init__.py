@@ -1,0 +1,2 @@
+from .postprocess import Intervals, apply_jaw_intervals, butter_lowpass_filtfilt
+from .generate import AviTalkingPipeline, PipelineConfig

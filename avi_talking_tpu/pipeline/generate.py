@@ -1,0 +1,273 @@
+"""The product API: (wav, natural-language instruction) -> animated FLAME face.
+
+TPU-native equivalent of the reference's instruction-following inference loop
+(``is_talking_instruct``, /root/reference/train_diffusion_prior.py:655-774 +
+voxel2style_emb :783 + run_evalutation):
+
+    instruction --tokenize--> CLIP text tower --mean over 77 tokens-->
+    BrainNetwork --> 100-step DDPM prior sample --> 128-d style embedding
+    wav --frame--> wav2vec2 --> EMOTE decoder (+style) --> FLINT -->
+    exp (T,50) + jaw (T,3) --> FLAME --> vertices (T, 5023, 3)
+
+Device work is two jitted functions (style sampling; audio->face), each a
+single dispatch. Host work: wav decode/framing and tokenization.
+
+Weights: the reference's pretrained checkpoints are external downloads; the
+pipeline runs with imported checkpoints when provided (infra.checkpoint) and
+random initialisation otherwise (full compute path, for benchmarking and
+integration tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.frontend import frame_audio, normalize_audio, read_wav
+from ..core.flame import FlameAssets
+from ..models.brain import BrainNetwork
+from ..models.clip_text import ClipTextConfig, ClipTextModel
+from ..models.diffusion import DiffusionPrior, NoiseScheduler
+from ..models.emote import EmoteConfig, EmoteTalkingHead
+from ..models.prior_transformer import PriorTransformerNetwork
+from .postprocess import Intervals, apply_jaw_intervals
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    clip: ClipTextConfig = dataclasses.field(default_factory=ClipTextConfig)
+    emote: EmoteConfig = dataclasses.field(default_factory=EmoteConfig)
+    clip_size: int = 128
+    prior_depth: int = 6
+    prior_heads: int = 8  # clip_size // 16 (train_diffusion_prior.py:971)
+    prior_dim_head: int = 64
+    timesteps: int = 100
+    cond_drop_prob: float = 0.2
+    max_tokens: int = 77
+
+    @classmethod
+    def tiny(cls) -> "PipelineConfig":
+        return cls(
+            clip=ClipTextConfig.tiny(),
+            emote=EmoteConfig.tiny(),
+            clip_size=32,
+            prior_depth=2,
+            prior_heads=2,
+            prior_dim_head=8,
+            timesteps=10,
+            max_tokens=16,
+        )
+
+
+class _HashTokenizer:
+    """Deterministic fallback tokenizer (whitespace + hashing).
+
+    The real CLIP BPE tokenizer (HF ``CLIPTokenizer``) is used when its vocab
+    is available locally; in zero-egress environments this fallback keeps the
+    full pipeline runnable — with random CLIP weights the exact token ids are
+    immaterial, and with real weights the HF tokenizer is required anyway.
+    """
+
+    def __init__(self, vocab_size: int, max_length: int):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+
+    def __call__(self, texts):
+        out = np.zeros((len(texts), self.max_length), dtype=np.int32)
+        for i, t in enumerate(texts):
+            ids = [1] + [
+                2 + (hash(w) % (self.vocab_size - 3)) for w in t.lower().split()
+            ]
+            ids = ids[: self.max_length - 1] + [self.vocab_size - 1]
+            out[i, : len(ids)] = ids
+        return out
+
+
+def _load_tokenizer(vocab_size: int, max_length: int):
+    try:
+        from transformers import CLIPTokenizer
+
+        tok = CLIPTokenizer.from_pretrained(
+            "openai/clip-vit-large-patch14", local_files_only=True
+        )
+
+        def tokenize(texts):
+            enc = tok(
+                texts, truncation=True, max_length=max_length,
+                padding="max_length", return_tensors="np",
+            )
+            return enc["input_ids"].astype(np.int32)
+
+        return tokenize
+    except Exception:
+        return _HashTokenizer(vocab_size, max_length)
+
+
+@dataclasses.dataclass
+class AviTalkingPipeline:
+    cfg: PipelineConfig
+    clip_model: ClipTextModel
+    brain: BrainNetwork
+    prior: DiffusionPrior
+    head: EmoteTalkingHead
+    params: Dict[str, Any]  # {"clip", "brain", "prior", "head"}
+    tokenizer: Any
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def random_init(
+        cls,
+        cfg: Optional[PipelineConfig] = None,
+        flame_assets: Optional[FlameAssets] = None,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ) -> "AviTalkingPipeline":
+        cfg = cfg or PipelineConfig()
+        rng = jax.random.PRNGKey(seed)
+        r_clip, r_brain, r_prior, r_head = jax.random.split(rng, 4)
+
+        clip_model = ClipTextModel(cfg.clip, dtype=dtype)
+        clip_params = clip_model.init(
+            r_clip, jnp.zeros((1, cfg.max_tokens), jnp.int32)
+        )
+
+        brain = BrainNetwork(
+            out_dim=cfg.clip_size, in_dim=cfg.clip.hidden_size,
+            clip_size=cfg.clip_size, dtype=dtype,
+        )
+        brain_params = brain.init(r_brain, jnp.zeros((1, cfg.clip.hidden_size)))
+
+        net = PriorTransformerNetwork(
+            dim=cfg.clip_size, depth=cfg.prior_depth, heads=cfg.prior_heads,
+            dim_head=cfg.prior_dim_head, dtype=dtype,
+        )
+        prior_params = net.init(
+            r_prior,
+            jnp.zeros((1, 1, cfg.clip_size)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, cfg.clip_size)),
+        )
+        prior = DiffusionPrior(
+            net=net,
+            scheduler=NoiseScheduler.create(cfg.timesteps),
+            text_cond_drop_prob=cfg.cond_drop_prob,
+            image_cond_drop_prob=cfg.cond_drop_prob,
+        )
+
+        head = EmoteTalkingHead(cfg.emote, flame_assets=flame_assets, dtype=dtype)
+        lfs = cfg.emote.flint.latent_frame_size
+        dummy_audio = jnp.zeros((1, lfs, 640))
+        dummy_style = jnp.zeros((1, cfg.emote.feature_dim))
+        head_params = head.init(r_head, dummy_audio, style_emb=dummy_style)
+
+        return cls(
+            cfg=cfg,
+            clip_model=clip_model,
+            brain=brain,
+            prior=prior,
+            head=head,
+            params={
+                "clip": clip_params,
+                "brain": brain_params,
+                "prior": prior_params,
+                "head": head_params,
+            },
+            tokenizer=_load_tokenizer(cfg.clip.vocab_size, cfg.max_tokens),
+        )
+
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _sample_style_fn(self):
+        clip_model, brain, prior, cfg = self.clip_model, self.brain, self.prior, self.cfg
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def sample_style(params, token_ids, rng, cond_scale=1.0):
+            hidden = clip_model.apply(params["clip"], token_ids)  # (B, 77, d)
+            voxel = hidden.mean(axis=1)  # driver means over tokens (:439)
+            clip_voxels, _ = brain.apply(params["brain"], voxel)
+            style = prior.p_sample_loop(
+                params["prior"],
+                (token_ids.shape[0], 1, cfg.clip_size),
+                clip_voxels,
+                rng,
+                cond_scale=cond_scale,
+            )
+            return style[:, 0]  # (B, 128)
+
+        return sample_style
+
+    def sample_style(
+        self, instruction: str | list[str], rng: jax.Array, cond_scale: float = 1.0
+    ) -> jax.Array:
+        texts = [instruction] if isinstance(instruction, str) else list(instruction)
+        ids = jnp.asarray(self.tokenizer(texts))
+        return self._sample_style_fn(self.params, ids, rng, cond_scale)
+
+    @functools.cached_property
+    def _animate_fn(self):
+        head = self.head
+
+        @functools.partial(jax.jit, static_argnums=())
+        def animate(head_params, audio_frames, style_emb):
+            return head.apply(head_params, audio_frames, style_emb=style_emb)
+
+        return animate
+
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        wav: np.ndarray | str,
+        instruction: str,
+        seed: int = 0,
+        cond_scale: float = 1.0,
+        intervals: Optional[Intervals] = None,
+        sample_rate: int = 16_000,
+    ) -> Dict[str, np.ndarray]:
+        """wav (path or float array) + instruction -> exp/jaw/vertices."""
+        if isinstance(wav, str):
+            wav, sample_rate = read_wav(wav)
+        lfs = self.cfg.emote.flint.latent_frame_size
+        frames = frame_audio(wav, sample_rate, pad_to_multiple=lfs)
+        flat = normalize_audio(frames)
+        audio = jnp.asarray(flat).reshape(1, frames.shape[0], frames.shape[1])
+
+        rng = jax.random.PRNGKey(seed)
+        style = self.sample_style(instruction, rng, cond_scale)
+        out = self._animate_fn(self.params["head"], audio, style)
+
+        exp, jaw = out["exp"], out["jaw"]
+        if intervals is not None:
+            exp, jaw = apply_jaw_intervals(exp, jaw, intervals)
+            if self.head.flame_assets is not None:
+                from ..core.flame import FlameModel
+
+                B, T = exp.shape[:2]
+                flame = FlameModel(
+                    self.head.flame_assets,
+                    n_shape=self.cfg.emote.n_shape,
+                    n_exp=self.cfg.emote.n_exp,
+                )
+                pose = jnp.concatenate([jnp.zeros_like(jaw), jaw], axis=-1)
+                shape = jnp.zeros((B * T, self.cfg.emote.n_shape))
+                verts = flame.vertices_only(
+                    shape, exp.reshape(B * T, -1), pose.reshape(B * T, -1)
+                ).reshape(B, T, -1, 3)
+                out["vertices"] = verts
+
+        result = {
+            "exp": np.asarray(exp[0]),
+            "jaw": np.asarray(jaw[0]),
+            "style_emb": np.asarray(out["style_emb"][0]),
+            "frames": frames,
+        }
+        if "vertices" in out:
+            result["vertices"] = np.asarray(out["vertices"][0])
+        return result

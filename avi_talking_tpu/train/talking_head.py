@@ -1,0 +1,98 @@
+"""Talking-head (EMOTE-style) training step with dp/tp sharding.
+
+The reference trains EMOTE via Lightning DDP with vertex/exp/jaw (+velocity)
+losses (inferno FaceFormer.py losses, training_pass.py:258-349). The
+TPU-native step: one jitted function over a ("dp", "tp") mesh — batch sharded
+on dp, wav2vec2 encoder tensor-parallel on tp (parallel.mesh rules), XLA
+inserting the gradient all-reduces.
+
+Losses implemented: exp/jaw MSE, vertex MSE (when FLAME assets present) and
+velocity losses — the geometric subset; the neural perceptual losses
+(lip-reading, video emotion) depend on external perception checkpoints and
+are pluggable later.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.conditioning import StyleCondition
+from ..models.emote import EmoteTalkingHead
+
+
+@dataclasses.dataclass
+class TalkingHeadTrainer:
+    head: EmoteTalkingHead
+    tx: optax.GradientTransformation
+    exp_weight: float = 1.0
+    jaw_weight: float = 1.0
+    vertex_weight: float = 1.0
+    velocity_weight: float = 10.0
+
+    def loss_fn(self, params, batch: Dict[str, Any], rng: jax.Array):
+        cond = StyleCondition(
+            expression=batch["expression"],
+            intensity=batch["intensity"],
+            identity=batch["identity"],
+            shape=batch.get("shape"),
+        )
+        out = self.head.apply(
+            params, batch["raw_audio"], cond, gt_shape=batch.get("gt_shape")
+        )
+        loss = 0.0
+        metrics = {}
+        exp, jaw = out["exp"], out["jaw"]
+        if "gt_exp" in batch:
+            l_exp = jnp.mean((exp - batch["gt_exp"]) ** 2)
+            l_expv = jnp.mean(
+                (jnp.diff(exp, axis=1) - jnp.diff(batch["gt_exp"], axis=1)) ** 2
+            )
+            loss += self.exp_weight * l_exp + self.velocity_weight * l_expv
+            metrics.update(loss_exp=l_exp, loss_exp_vel=l_expv)
+        if "gt_jaw" in batch:
+            l_jaw = jnp.mean((jaw - batch["gt_jaw"]) ** 2)
+            l_jawv = jnp.mean(
+                (jnp.diff(jaw, axis=1) - jnp.diff(batch["gt_jaw"], axis=1)) ** 2
+            )
+            loss += self.jaw_weight * l_jaw + self.velocity_weight * l_jawv
+            metrics.update(loss_jaw=l_jaw, loss_jaw_vel=l_jawv)
+        if "gt_vertices" in batch and "vertices" in out:
+            l_v = jnp.mean((out["vertices"] - batch["gt_vertices"]) ** 2)
+            loss += self.vertex_weight * l_v
+            metrics["loss_vertex"] = l_v
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def train_step(self, params, opt_state, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+            params, batch, rng
+        )
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    def jitted_train_step(self, mesh=None, batch_spec=None, param_spec=None):
+        """jit the step; with a mesh, constrain batch to dp sharding."""
+        step = self.train_step
+        if mesh is None:
+            return jax.jit(step)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def constrained(params, opt_state, batch, rng):
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("dp"))
+                )
+                if hasattr(x, "ndim") and x.ndim >= 1
+                else x,
+                batch,
+            )
+            return step(params, opt_state, batch, rng)
+
+        return jax.jit(constrained)

@@ -1,0 +1,79 @@
+"""End-to-end pipeline test (tiny configs, synthetic FLAME, random weights)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from avi_talking_tpu.core import synthetic_assets
+from avi_talking_tpu.pipeline import (
+    AviTalkingPipeline,
+    Intervals,
+    PipelineConfig,
+    apply_jaw_intervals,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return AviTalkingPipeline.random_init(
+        PipelineConfig.tiny(), flame_assets=synthetic_assets(n_shape=8, n_exp=6)
+    )
+
+
+def test_generate_end_to_end(pipe):
+    rng = np.random.default_rng(0)
+    wav = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)  # 1 s
+    out = pipe.generate(wav, "A fairly angry man speaks with brow fairly down")
+    T = out["exp"].shape[0]
+    assert T >= 24 and T % pipe.cfg.emote.flint.latent_frame_size == 0
+    assert out["exp"].shape == (T, 6)
+    assert out["jaw"].shape == (T, 3)
+    assert out["style_emb"].shape == (pipe.cfg.emote.feature_dim,)
+    assert out["vertices"].shape == (T, 128, 3)
+    for v in out.values():
+        assert np.isfinite(v).all()
+
+
+def test_generate_is_deterministic_per_seed(pipe):
+    wav = np.zeros(8000, np.float32)
+    a = pipe.generate(wav, "happy", seed=1)
+    b = pipe.generate(wav, "happy", seed=1)
+    c = pipe.generate(wav, "happy", seed=2)
+    np.testing.assert_allclose(a["style_emb"], b["style_emb"])
+    assert not np.allclose(a["style_emb"], c["style_emb"])
+
+
+def test_instruction_changes_style_not_lipsync_rate(pipe):
+    wav = np.zeros(8000, np.float32)
+    a = pipe.generate(wav, "a happy person", seed=0)
+    b = pipe.generate(wav, "a very sad person", seed=0)
+    assert a["exp"].shape == b["exp"].shape
+    assert not np.allclose(a["style_emb"], b["style_emb"])
+
+
+def test_jaw_interval_surgery():
+    rng = np.random.default_rng(1)
+    exp = jnp.asarray(rng.standard_normal((1, 20, 6)).astype(np.float32))
+    jaw = jnp.asarray(rng.standard_normal((1, 20, 3)).astype(np.float32) + 1.0)
+    iv = Intervals(mouth_opening=((2, 7),), mouth_closure=((12, 17),), silent=((0, 2),))
+    exp2, jaw2 = apply_jaw_intervals(exp, jaw, iv)
+    jaw2 = np.asarray(jaw2)
+    np.testing.assert_allclose(np.asarray(exp2), np.asarray(exp))
+    # silent zeroed
+    np.testing.assert_allclose(jaw2[0, 0:2], 0.0)
+    # opening ramps 0 -> jaw[7]
+    np.testing.assert_allclose(jaw2[0, 2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        jaw2[0, 6], np.asarray(jaw)[0, 7] * 4 / 4, rtol=1e-5
+    )
+    # closure ramps jaw[12] -> 0 (note: boundary value comes from the
+    # original jaw at index 12)
+    np.testing.assert_allclose(jaw2[0, 16], 0.0, atol=2e-1)
+
+
+def test_padded_silence_recipe():
+    iv = Intervals.for_padded_silence(10, 10)
+    assert iv.silent == ((0, 5), (-5, -1))
+    assert iv.mouth_opening == ((5, 10),)
+    assert iv.mouth_closure == ((-10, -5),)
