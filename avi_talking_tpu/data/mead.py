@@ -1,0 +1,185 @@
+"""MEAD / EMOCA-preprocessed talking-face dataset.
+
+Port of the reference's TalkDataset (/root/reference/dataset/data_loader.py:67-378
++ dataset/emoca_utils.py): each clip directory holds per-frame EMOCA codes
+(``EMOCA_v2_lr_mse_20/<frame>_000/{exp,pose,shape,cam}.npy``) plus the clip
+wav. Item construction:
+
+  * random (train) / leading (eval) ``seq_length``-frame crop,
+  * audio sliced at 640 samples/frame (16 kHz, 25 fps) and
+    Wav2Vec2Processor-normalised,
+  * coeff = concat[exp(50), jaw(3), global-rot(3), cam(3)] z-normalised by
+    CoeffStats (stats regenerable from data — the Mead npys are not shipped),
+  * per-identity neutral reference clip lookup,
+  * optional butterworth pose smoothing (data_loader.py:37-62).
+
+The directory index is cached to ``index_cache.json`` in the data root
+(mirrors the reference's datadict pickle cache but human-readable). Images
+(``detections/*.png``) are indexed but decoded lazily only when a consumer
+(render losses / FanEncoder) asks — the coefficient path never touches them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..audio.frontend import SAMPLES_PER_FRAME, normalize_audio, read_wav
+from .captions import MeadFilenameParser
+from .stats import CoeffStats
+
+
+def _scan_clip(root: str, name: str) -> Optional[Dict]:
+    frames_dir = os.path.join(root, name, "EMOCA_v2_lr_mse_20")
+    if not os.path.isdir(frames_dir):
+        return None
+    frame_names = sorted(
+        fn
+        for fn in os.listdir(frames_dir)
+        if os.path.isdir(os.path.join(frames_dir, fn))
+        and "processed" not in fn
+        and fn.endswith("_000")
+    )
+    if not frame_names:
+        return None
+    wav = os.path.join(root, name, name + ".wav")
+    return {
+        "name": name,
+        "frames": [os.path.join(frames_dir, fn) for fn in frame_names],
+        "wav": wav if os.path.exists(wav) else None,
+    }
+
+
+def build_index(root: str, use_cache: bool = True) -> List[Dict]:
+    cache = os.path.join(root, "index_cache.json")
+    if use_cache and os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    clips = []
+    for name in sorted(os.listdir(root)):
+        if os.path.isfile(os.path.join(root, name)):
+            continue
+        meta = _scan_clip(root, name)
+        if meta is None:
+            # nested layout <root>/<group>/<clip>
+            for sub in sorted(os.listdir(os.path.join(root, name))):
+                m = _scan_clip(root, os.path.join(name, sub))
+                if m:
+                    clips.append(m)
+        else:
+            clips.append(meta)
+    if use_cache:
+        try:
+            with open(cache, "w") as f:
+                json.dump(clips, f)
+        except OSError:
+            pass
+    return clips
+
+
+@dataclasses.dataclass
+class MeadEmocaDataset:
+    root: str
+    seq_length: int = 25
+    split: str = "train"
+    stats: Optional[CoeffStats] = None
+    smooth_pose: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        self.index = build_index(self.root)
+        self.parser = MeadFilenameParser()
+        self._rng = np.random.default_rng(self.seed)
+        # neutral reference clip per identity (data_loader.py:149-155)
+        self._neutral_by_id: Dict[str, str] = {}
+        for clip in self.index:
+            base = os.path.basename(clip["name"])
+            if "_neutral_" in base:
+                ident = base.split("_")[0]
+                self._neutral_by_id.setdefault(ident, clip["name"])
+        if self.stats is None:
+            self.stats = CoeffStats.identity(59)
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def _load_codes(self, frames: List[str]) -> Dict[str, np.ndarray]:
+        out = {}
+        for key in ("exp", "pose", "shape", "cam"):
+            out[key] = np.stack(
+                [np.load(os.path.join(fd, f"{key}.npy")) for fd in frames]
+            ).astype(np.float32)
+        return out
+
+    def compute_stats(self, max_clips: int = 200) -> CoeffStats:
+        """Regenerate coeff stats from the data (the reference's missing
+        coeff_mean_Mead.npy / coeff_std_Mead.npy)."""
+        coeffs = []
+        for clip in self.index[:max_clips]:
+            codes = self._load_codes(clip["frames"])
+            coeffs.append(self._raw_coeff(codes))
+        return CoeffStats.from_data(np.concatenate(coeffs, axis=0))
+
+    @staticmethod
+    def _raw_coeff(codes: Dict[str, np.ndarray]) -> np.ndarray:
+        exp = codes["exp"][:, :50]
+        jaw = codes["pose"][:, 3:6]
+        glob_rot = codes["pose"][:, :3]
+        cam = codes["cam"][:, :3]
+        return np.concatenate([exp, jaw, glob_rot, cam], axis=-1)  # (T, 59)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        clip = self.index[i]
+        codes = self._load_codes(clip["frames"])
+        if self.smooth_pose:
+            from ..pipeline.postprocess import butter_lowpass_filtfilt
+
+            if codes["pose"].shape[0] > 15:
+                codes["pose"][:, :3] = butter_lowpass_filtfilt(codes["pose"][:, :3])
+        coeff = self._raw_coeff(codes)
+        T = coeff.shape[0]
+
+        L = min(self.seq_length, T)
+        start = int(self._rng.integers(0, T - L + 1)) if self.split == "train" else 0
+        sl = slice(start, start + L)
+
+        item: Dict[str, np.ndarray] = {
+            "name": clip["name"],
+            "coeff": self.stats.normalize(coeff[sl]).astype(np.float32),
+            "shape": codes["shape"][sl],
+            "pose": codes["pose"][sl],
+            "cam": codes["cam"][sl],
+        }
+        if clip["wav"]:
+            wav, sr = read_wav(clip["wav"])
+            a0, a1 = start * SAMPLES_PER_FRAME, (start + L) * SAMPLES_PER_FRAME
+            seg = np.zeros(L * SAMPLES_PER_FRAME, np.float32)
+            avail = wav[a0:a1]
+            seg[: avail.shape[0]] = avail
+            item["audio"] = normalize_audio(seg[None])
+        base = os.path.basename(clip["name"])
+        try:
+            ident, emo, inten = self.parser.parse(base)
+            item["identity_idx"] = np.int32(ident)
+            item["emotion_idx"] = np.int32(emo)
+            item["intensity_idx"] = np.int32(inten)
+        except (ValueError, KeyError, IndexError):
+            pass
+        neutral = self._neutral_by_id.get(base.split("_")[0])
+        if neutral:
+            item["neutral_clip"] = neutral
+        return item
+
+    def image_paths(self, i: int) -> List[str]:
+        """Lazy detection-crop image paths (for render losses/FanEncoder)."""
+        clip = self.index[i]
+        frames_dir = os.path.dirname(clip["frames"][0])
+        cands = sorted(
+            glob.glob(os.path.join(os.path.dirname(frames_dir), "*", "detections", "*_000.png"))
+        )
+        return cands

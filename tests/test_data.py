@@ -1,0 +1,150 @@
+"""Data layer tests on synthetic on-disk fixtures mirroring the reference
+layouts (EMOCA-preprocessed MEAD dirs; VOCASET wav+npy+templates)."""
+
+import json
+import os
+import pickle
+import wave
+
+import numpy as np
+import pytest
+
+from avi_talking_tpu.data import (
+    CaptionDataset,
+    CoeffStats,
+    MeadEmocaDataset,
+    MeadFilenameParser,
+    VocasetDataset,
+    batch_iterator,
+    pad_to_bucket,
+)
+
+
+def _write_wav(path, seconds=1.0, sr=16000):
+    t = np.linspace(0, seconds, int(sr * seconds), endpoint=False)
+    wavdata = (np.sin(2 * np.pi * 220 * t) * 0.3 * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(wavdata.tobytes())
+
+
+@pytest.fixture(scope="module")
+def mead_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mead")
+    rng = np.random.default_rng(0)
+    for name in ["M003_front_neutral_level1_001", "M003_front_happy_level3_002"]:
+        frames = root / name / "EMOCA_v2_lr_mse_20"
+        for i in range(30):
+            fd = frames / f"{i:06d}_000"
+            fd.mkdir(parents=True)
+            np.save(fd / "exp.npy", rng.standard_normal(50).astype(np.float32))
+            np.save(fd / "pose.npy", rng.standard_normal(6).astype(np.float32) * 0.1)
+            np.save(fd / "shape.npy", rng.standard_normal(100).astype(np.float32))
+            np.save(fd / "cam.npy", rng.standard_normal(3).astype(np.float32))
+        _write_wav(root / name / f"{name}.wav", seconds=30 / 25)
+    return str(root)
+
+
+def test_mead_dataset(mead_root):
+    ds = MeadEmocaDataset(root=mead_root, seq_length=25)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["coeff"].shape == (25, 59)
+    assert item["audio"].shape == (25 * 640,)
+    assert abs(float(item["audio"].mean())) < 1e-3
+    assert item["identity_idx"] == 0
+    assert "neutral_clip" in item
+    # cache file created and reused
+    assert os.path.exists(os.path.join(mead_root, "index_cache.json"))
+    ds2 = MeadEmocaDataset(root=mead_root)
+    assert len(ds2) == 2
+
+
+def test_mead_stats_regeneration(mead_root):
+    ds = MeadEmocaDataset(root=mead_root)
+    stats = ds.compute_stats()
+    assert stats.mean.shape == (59,)
+    assert (stats.std > 0).all()
+    x = np.random.default_rng(1).standard_normal((5, 59)).astype(np.float32)
+    np.testing.assert_allclose(
+        stats.denormalize(stats.normalize(x)), x, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_filename_parser():
+    p = MeadFilenameParser()
+    assert p.parse("M012_front_neutral_level1_017") == (5, 0, 0)
+    assert p.parse("W029_front_angry_level3_001.wav") == (31, 6, 2)
+
+
+@pytest.fixture(scope="module")
+def vocaset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vocaset")
+    (root / "wav").mkdir()
+    (root / "vertices_npy").mkdir()
+    rng = np.random.default_rng(1)
+    templates = {}
+    for subj in ["FaceTalk_A", "FaceTalk_B"]:
+        templates[subj] = rng.standard_normal((10, 3)).astype(np.float32)
+        for sent in [1, 25]:
+            name = f"{subj}_sentence{sent:02d}"
+            _write_wav(root / "wav" / f"{name}.wav", seconds=0.5)
+            np.save(
+                root / "vertices_npy" / f"{name}.npy",
+                rng.standard_normal((24, 30)).astype(np.float32),
+            )
+    with open(root / "templates.pkl", "wb") as f:
+        pickle.dump(templates, f)
+    return str(root)
+
+
+def test_vocaset_splits(vocaset_root):
+    train = VocasetDataset(
+        vocaset_root, ["FaceTalk_A"], ["FaceTalk_B"], ["FaceTalk_B"], split="train"
+    )
+    # subject A sentence 1 only (sentence 25 also in range(1,41) -> both)
+    assert len(train) == 2
+    item = train[0]
+    assert item.vertice.shape == (12, 30)  # [::2] subsample
+    assert item.template.shape == (30,)
+    assert item.one_hot.tolist() == [1.0]
+    val = VocasetDataset(
+        vocaset_root, ["FaceTalk_A"], ["FaceTalk_B"], ["FaceTalk_B"], split="val"
+    )
+    assert len(val) == 1  # only sentence 25 in val range(21,41)
+
+
+def test_caption_dataset(tmp_path):
+    jd = tmp_path / "json_dir"
+    wd = tmp_path / "wav_dir" / "0000"
+    jd.mkdir()
+    wd.mkdir(parents=True)
+    _write_wav(wd / "clip.wav", 0.2)
+    with open(jd / "0000.json", "w") as f:
+        json.dump({"mm_paths": "missing/path.wav", "caption": ["a happy face"]}, f)
+    ds = CaptionDataset(str(jd), str(tmp_path / "wav_dir"))
+    assert len(ds) == 1
+    assert ds[0].captions == ("a happy face",)
+    assert ds[0].wav_path.endswith("clip.wav")
+
+
+def test_reference_fixture_captions():
+    ds = CaptionDataset(
+        "/root/reference/experiments/json_dir",
+        "/root/reference/experiments/wav_dir",
+    )
+    assert len(ds) == 4
+    for item in ds:
+        assert len(item.captions) >= 1
+        assert os.path.exists(item.wav_path)
+
+
+def test_batching(mead_root):
+    ds = MeadEmocaDataset(root=mead_root)
+    batches = list(batch_iterator(ds, batch_size=2, epochs=2, seed=1))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["coeff"].shape == (2, 25, 59)
+    assert pad_to_bucket(b["coeff"][0], [32, 64], axis=0).shape[0] == 32
