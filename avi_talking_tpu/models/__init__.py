@@ -5,4 +5,12 @@ from .conditioning import EmotionStyleEncoder, StyleCondition
 from .flint import FlintDecoder, FlintConfig
 from .emote import EmoteConfig, EmoteTalkingHead
 from .faceformer import FaceFormerConfig, FaceFormerCoeff
+from .faceformer_vert import (
+    FaceFormerVert,
+    FaceFormerVertConfig,
+    FlameRegionSelector,
+    convert_coeff2verts,
+    disentangle_losses,
+)
+from .fan_encoder import FanEncoder, fan_encoder_params_from_torch, mask_lip
 from .clip_text import ClipTextConfig, ClipTextModel, clip_text_params_from_torch

@@ -174,99 +174,19 @@ class FaceFormerCoeff(nn.Module):
         if c.with_condition_merge and eye_embed is not None:
             memory = self.merge_condition(memory, eye_embed, emo_embed, ref_coeff)
         B = memory.shape[0]
-        D, H = c.feature_dim, c.nhead
-        hd = D // H
         assert c.num_decoder_layers == 1, "KV-cached decode is built for 1 layer"
+        from .ar_decode import ar_decode
 
-        p = self.variables["params"]["transformer_decoder"]["layers_0"]
-
-        def lin(px, x):
-            return x @ px["kernel"].astype(x.dtype) + px["bias"].astype(x.dtype)
-
-        def ln(px, x, eps=1e-5):
-            mu = x.mean(-1, keepdims=True)
-            var = jnp.var(x, axis=-1, keepdims=True)
-            return (x - mu) * jax.lax.rsqrt(var + eps) * px["scale"].astype(
-                x.dtype
-            ) + px["bias"].astype(x.dtype)
-
-        def mha_proj(attn_p, x, part):
-            w = attn_p["in_proj_weight"].astype(x.dtype)
-            b = attn_p["in_proj_bias"].astype(x.dtype)
-            wq, wk, wv = jnp.split(w, 3, axis=0)
-            bq, bk, bv = jnp.split(b, 3, axis=0)
-            return {
-                "q": x @ wq.T + bq,
-                "k": x @ wk.T + bk,
-                "v": x @ wv.T + bv,
-            }[part]
-
-        sa, ca = p["self_attn"], p["multihead_attn"]
-        # memory K/V projected ONCE (B, T, D)
-        mem_k = mha_proj(ca, memory, "k").reshape(B, T, H, hd)
-        mem_v = mha_proj(ca, memory, "v").reshape(B, T, H, hd)
-
-        ppe = periodic_positional_encoding(T, D, c.period, memory.dtype)
-        slopes = jnp.asarray(alibi_slopes(H), memory.dtype)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, memory.dtype))
-
-        def step(carry, i):
-            token_emb, k_cache, v_cache = carry
-            # token_emb: (B, D) current input token (pre-PPE)
-            x = token_emb + ppe[i]
-            # --- self attention against cache + self
-            q = mha_proj(sa, x, "q").reshape(B, H, hd)
-            k_new = mha_proj(sa, x, "k").reshape(B, H, hd)
-            v_new = mha_proj(sa, x, "v").reshape(B, H, hd)
-            k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k_new, i, axis=1)
-            v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v_new, i, axis=1)
-            j = jnp.arange(T)
-            logits = jnp.einsum("bhd,bjhd->bhj", q * scale, k_cache.reshape(B, T, H, hd))
-            dist = jnp.maximum(i - j, 0) // c.period
-            bias = -slopes[None, :, None] * dist[None, None].astype(logits.dtype)
-            logits = logits + bias
-            logits = jnp.where((j > i)[None, None], NEG_INF, logits)
-            attn = jax.nn.softmax(logits, axis=-1)
-            sa_out = jnp.einsum("bhj,bjhd->bhd", attn, v_cache.reshape(B, T, H, hd))
-            sa_out = lin(
-                {
-                    "kernel": sa["out_proj_weight"].astype(x.dtype).T,
-                    "bias": sa["out_proj_bias"],
-                },
-                sa_out.reshape(B, D),
-            )
-            x = ln(p["norm1"], x + sa_out)
-            # --- cross attention: alignment mask = only memory frame i
-            q2 = mha_proj(ca, x, "q").reshape(B, H, hd)
-            k_i = jax.lax.dynamic_index_in_dim(mem_k, i, axis=1, keepdims=False)
-            v_i = jax.lax.dynamic_index_in_dim(mem_v, i, axis=1, keepdims=False)
-            # single allowed key -> softmax weight 1 -> output = V_i
-            del q2, k_i
-            ca_out = lin(
-                {
-                    "kernel": ca["out_proj_weight"].astype(x.dtype).T,
-                    "bias": ca["out_proj_bias"],
-                },
-                v_i.reshape(B, D),
-            )
-            x = ln(p["norm2"], x + ca_out)
-            # --- feed forward
-            h = jax.nn.relu(lin(p["linear1"], x))
-            h = lin(p["linear2"], h)
-            x = ln(p["norm3"], x + h)
-            out = x @ self.variables["params"]["vertice_map_r"]["kernel"].astype(
-                x.dtype
-            ) + self.variables["params"]["vertice_map_r"]["bias"].astype(x.dtype)
-            vm = self.variables["params"]["vertice_map"]
-            next_token = out @ vm["kernel"].astype(x.dtype) + vm["bias"].astype(x.dtype)
-            return (next_token, k_cache, v_cache), out
-
+        params = self.variables["params"]
         token0 = jnp.broadcast_to(
-            self.obj_embedding.astype(memory.dtype), (B, D)
+            self.obj_embedding.astype(memory.dtype), (B, c.feature_dim)
         )
-        k_cache = jnp.zeros((B, T, H * hd), memory.dtype).reshape(B, T, H, hd)
-        v_cache = jnp.zeros_like(k_cache)
-        (_, _, _), outs = jax.lax.scan(
-            step, (token0, k_cache, v_cache), jnp.arange(T)
+        return ar_decode(
+            params["transformer_decoder"]["layers_0"],
+            memory,
+            token0,
+            out_proj=params["vertice_map_r"],
+            feedback_proj=params["vertice_map"],
+            n_heads=c.nhead,
+            period=c.period,
         )
-        return outs.transpose(1, 0, 2)  # (B, T, vertice_dim)
