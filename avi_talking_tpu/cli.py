@@ -1,0 +1,166 @@
+"""Command-line interface — the experiments/*.sh equivalent.
+
+Subcommands:
+  generate   one (wav, instruction) pair -> coeffs npz (+ meshes / video)
+  instruct   batch over a caption corpus (experiments/json_dir format) —
+             the reference's `diffusion_test.sh align_emote` product path
+             (train_diffusion_prior.py:655-774)
+  bench      run the single-chip RTF benchmark
+  stats      regenerate Mead coefficient statistics from a dataset root
+
+Checkpoints/assets are optional: without them the models run random-init
+(compute-path smoke); pass --flame-npz / --checkpoint for real outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _build_pipeline(args):
+    import jax.numpy as jnp
+
+    from .core.assets import default_assets_path, load_flame_assets, synthetic_assets
+    from .pipeline import AviTalkingPipeline, PipelineConfig
+
+    if args.tiny:
+        cfg = PipelineConfig.tiny()
+        assets = synthetic_assets(n_shape=cfg.emote.n_shape, n_exp=cfg.emote.n_exp)
+    else:
+        cfg = PipelineConfig()
+        npz = args.flame_npz or default_assets_path()
+        assets = load_flame_assets(npz, cfg.emote.n_shape, cfg.emote.n_exp) if npz else None
+        if assets is None:
+            print(
+                "[warn] no FLAME assets (set --flame-npz or AVI_TALKING_FLAME_NPZ); "
+                "emitting exp/jaw coefficients only",
+                file=sys.stderr,
+            )
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    pipe = AviTalkingPipeline.random_init(cfg, flame_assets=assets, dtype=dtype)
+    if args.checkpoint:
+        from .infra.checkpoint import restore_checkpoint
+
+        pipe.params = restore_checkpoint(args.checkpoint, target=pipe.params)
+    return pipe
+
+
+def _save_outputs(out, out_dir: str, name: str, pipe, args) -> None:
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(
+        os.path.join(out_dir, f"{name}_coeffs.npz"),
+        exp=out["exp"],
+        jaw=out["jaw"],
+        style_emb=out["style_emb"],
+    )
+    if "vertices" in out and args.save_video:
+        from .viz import FlameVisualizer
+
+        faces = np.asarray(pipe.head.flame_assets.faces)
+        viz = FlameVisualizer(faces, image_size=args.image_size)
+        path = viz.visualize_verts(
+            out["vertices"], os.path.join(out_dir, f"{name}.mp4")
+        )
+        print(f"  video: {path}")
+
+
+def cmd_generate(args) -> int:
+    pipe = _build_pipeline(args)
+    t0 = time.time()
+    out = pipe.generate(args.wav, args.text, seed=args.seed,
+                        cond_scale=args.cond_scale)
+    name = os.path.splitext(os.path.basename(args.wav))[0]
+    _save_outputs(out, args.out, name, pipe, args)
+    print(
+        f"generate: {out['exp'].shape[0]} frames in {time.time()-t0:.2f}s "
+        f"-> {args.out}/{name}_coeffs.npz"
+    )
+    return 0
+
+
+def cmd_instruct(args) -> int:
+    from .data import CaptionDataset
+
+    ds = CaptionDataset(args.json_dir, args.wav_dir)
+    pipe = _build_pipeline(args)
+    times = []
+    for item in ds:
+        for ci, caption in enumerate(item.captions):
+            t0 = time.time()
+            out = pipe.generate(item.wav_path, caption, seed=args.seed)
+            times.append(time.time() - t0)
+            _save_outputs(out, args.out, f"{item.name}_cap{ci}", pipe, args)
+            print(f"[{item.name}/{ci}] {caption[:60]!r} -> "
+                  f"{out['exp'].shape[0]} frames ({times[-1]:.2f}s)")
+    if times:
+        print(f"avg per-sample wall time: {sum(times)/len(times):.3f}s")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .data import MeadEmocaDataset
+
+    ds = MeadEmocaDataset(root=args.root)
+    stats = ds.compute_stats(max_clips=args.max_clips)
+    stats.save(args.mean_out, args.std_out)
+    print(f"wrote {args.mean_out} / {args.std_out} from {len(ds)} clips")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="avi-talking-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--tiny", action="store_true", help="tiny test config")
+        sp.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+        sp.add_argument("--flame-npz", default=None)
+        sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--cond-scale", type=float, default=1.0)
+        sp.add_argument("--out", default="outputs")
+        sp.add_argument("--save-video", action="store_true")
+        sp.add_argument("--image-size", type=int, default=256)
+
+    g = sub.add_parser("generate", help="single wav + instruction")
+    g.add_argument("--wav", required=True)
+    g.add_argument("--text", required=True)
+    common(g)
+    g.set_defaults(fn=cmd_generate)
+
+    i = sub.add_parser("instruct", help="caption-corpus batch inference")
+    i.add_argument("--json-dir", required=True)
+    i.add_argument("--wav-dir", default=None)
+    common(i)
+    i.set_defaults(fn=cmd_instruct)
+
+    b = sub.add_parser("bench", help="single-chip RTF benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("stats", help="regenerate Mead coeff stats")
+    s.add_argument("--root", required=True)
+    s.add_argument("--mean-out", default="coeff_mean_Mead.npy")
+    s.add_argument("--std-out", default="coeff_std_Mead.npy")
+    s.add_argument("--max-clips", type=int, default=200)
+    s.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,3 @@
+from .meshio import Mesh, read_obj, write_obj
+from .rasterizer import rasterize, render_normal_maps, compute_vertex_normals
+from .visualizer import FlameVisualizer, save_frames_as_video

@@ -1,0 +1,158 @@
+"""Pure-JAX differentiable triangle rasterizer (pytorch3d replacement).
+
+The reference delegates rasterization to pytorch3d's C++/CUDA
+``rasterize_meshes`` (gdl/models/Renderer.py:116,
+visualize/flame_visualization.py:86). On TPU there is no extension
+mechanism — instead the rasterizer is expressed as dense masked math that
+XLA maps onto the VPU: for a chunk of faces, edge-function barycentrics are
+evaluated against the full pixel grid, and a z-buffer argmin folds chunks
+sequentially (``lax.scan`` over face chunks => O(F/chunk) fused steps, flat
+HBM footprint).
+
+Conventions (matching the DECA/FLAME usage): vertices in NDC, x right /
+y up in [-1, 1]; z is DEPTH (smaller = closer). Attributes are per-vertex
+and interpolated with the barycentrics (hard rasterization, 1 face/pixel —
+what SRenderY's rasterizer does for render losses and normal videos).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e9
+
+
+def _pixel_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    ys = 1.0 - (2.0 * jnp.arange(h, dtype=dtype) + 1.0) / h
+    xs = -1.0 + (2.0 * jnp.arange(w, dtype=dtype) + 1.0) / w
+    return jnp.meshgrid(xs, ys)  # each (h, w) with [0]=x, [1]=y
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def rasterize(
+    vertices: jax.Array,  # (V, 3) NDC, z = depth
+    faces: jax.Array,  # (F, 3) int
+    attributes: jax.Array,  # (V, C)
+    height: int,
+    width: int,
+    chunk: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """Hard-rasterize one mesh -> ((H, W, C) image, (H, W) mask)."""
+    V = vertices.shape[0]
+    F = faces.shape[0]
+    C = attributes.shape[-1]
+    dtype = vertices.dtype
+
+    px, py = _pixel_grid(height, width, dtype)
+    px = px.reshape(-1)  # (P,)
+    py = py.reshape(-1)
+    P = px.shape[0]
+
+    n_chunks = -(-F // chunk)
+    pad = n_chunks * chunk - F
+    faces_p = jnp.concatenate([faces, jnp.zeros((pad, 3), faces.dtype)], axis=0)
+    valid = jnp.concatenate(
+        [jnp.ones((F,), bool), jnp.zeros((pad,), bool)]
+    ).reshape(n_chunks, chunk)
+    faces_p = faces_p.reshape(n_chunks, chunk, 3)
+
+    tri_all = vertices[faces_p]  # (n_chunks, chunk, 3(corner), 3(xyz))
+    attr_all = attributes[faces_p]  # (n_chunks, chunk, 3, C)
+
+    def body(carry, inp):
+        zbuf, img, mask = carry
+        tri, attr, is_valid = inp  # (chunk, 3, 3), (chunk, 3, C), (chunk,)
+        x0, y0 = tri[:, 0, 0, None], tri[:, 0, 1, None]  # (chunk, 1)
+        x1, y1 = tri[:, 1, 0, None], tri[:, 1, 1, None]
+        x2, y2 = tri[:, 2, 0, None], tri[:, 2, 1, None]
+        denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)  # (chunk, 1)
+        safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        w0 = ((y1 - y2) * (px[None] - x2) + (x2 - x1) * (py[None] - y2)) / safe
+        w1 = ((y2 - y0) * (px[None] - x2) + (x0 - x2) * (py[None] - y2)) / safe
+        w2 = 1.0 - w0 - w1  # (chunk, P)
+        inside = (
+            (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+            & (jnp.abs(denom) > 1e-12)
+            & is_valid[:, None]
+        )
+        z = (
+            w0 * tri[:, 0, 2, None]
+            + w1 * tri[:, 1, 2, None]
+            + w2 * tri[:, 2, 2, None]
+        )
+        z = jnp.where(inside, z, BIG)  # (chunk, P)
+        best = jnp.argmin(z, axis=0)  # (P,)
+        best_z = jnp.take_along_axis(z, best[None], axis=0)[0]  # (P,)
+        covered = best_z < BIG
+        closer = covered & (best_z < zbuf)
+
+        bary = jnp.stack(
+            [
+                jnp.take_along_axis(w0, best[None], axis=0)[0],
+                jnp.take_along_axis(w1, best[None], axis=0)[0],
+                jnp.take_along_axis(w2, best[None], axis=0)[0],
+            ],
+            axis=-1,
+        )  # (P, 3)
+        attr_best = attr[best]  # (P, 3, C)
+        pix = jnp.einsum("pk,pkc->pc", bary, attr_best)  # (P, C)
+
+        zbuf = jnp.where(closer, best_z, zbuf)
+        img = jnp.where(closer[:, None], pix, img)
+        mask = mask | closer
+        return (zbuf, img, mask), None
+
+    init = (
+        jnp.full((P,), BIG, dtype),
+        jnp.zeros((P, C), dtype),
+        jnp.zeros((P,), bool),
+    )
+    (zbuf, img, mask), _ = jax.lax.scan(body, init, (tri_all, attr_all, valid))
+    return img.reshape(height, width, C), mask.reshape(height, width)
+
+
+def rasterize_batch(vertices, faces, attributes, height, width, chunk=512):
+    """vmap over batch: (B, V, 3), (B, V, C) -> (B, H, W, C), (B, H, W)."""
+    return jax.vmap(lambda v, a: rasterize(v, faces, a, height, width, chunk))(
+        vertices, attributes
+    )
+
+
+def compute_vertex_normals(vertices: jax.Array, faces: jax.Array) -> jax.Array:
+    """Area-weighted vertex normals, (B, V, 3) or (V, 3) input."""
+    squeeze = vertices.ndim == 2
+    if squeeze:
+        vertices = vertices[None]
+    tri = vertices[:, faces]  # (B, F, 3, 3)
+    fn = jnp.cross(tri[:, :, 1] - tri[:, :, 0], tri[:, :, 2] - tri[:, :, 0])
+    B, V = vertices.shape[:2]
+    normals = jnp.zeros((B, V, 3), vertices.dtype)
+    for k in range(3):
+        normals = normals.at[:, faces[:, k]].add(fn)
+    norm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    normals = normals / jnp.maximum(norm, 1e-12)
+    if squeeze:
+        return normals[0]
+    return normals
+
+
+def render_normal_maps(
+    vertices: jax.Array,  # (B, V, 3) NDC (z = depth)
+    faces: jax.Array,
+    height: int = 256,
+    width: int = 256,
+    chunk: int = 512,
+    background: float = 0.0,
+) -> jax.Array:
+    """Render per-pixel world-space normals in [0, 1] like the reference's
+    normal-map visualisation (visualize/flame_visualization.py:75-143)."""
+    normals = compute_vertex_normals(vertices, faces)
+    img, mask = rasterize_batch(
+        vertices, faces, normals, height, width, chunk
+    )
+    shaded = img * 0.5 + 0.5
+    return jnp.where(mask[..., None], shaded, background)

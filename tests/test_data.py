@@ -131,9 +131,9 @@ def test_caption_dataset(tmp_path):
 
 
 def test_reference_fixture_captions():
+    root = os.path.join(os.path.dirname(__file__), "..", "experiments")
     ds = CaptionDataset(
-        "/root/reference/experiments/json_dir",
-        "/root/reference/experiments/wav_dir",
+        os.path.join(root, "json_dir"), os.path.join(root, "wav_dir")
     )
     assert len(ds) == 4
     for item in ds:
