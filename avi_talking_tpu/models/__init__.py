@@ -13,4 +13,5 @@ from .faceformer_vert import (
     disentangle_losses,
 )
 from .fan_encoder import FanEncoder, fan_encoder_params_from_torch, mask_lip
+from .pirender import FaceGenerator, PIRenderConfig
 from .clip_text import ClipTextConfig, ClipTextModel, clip_text_params_from_torch

@@ -1,0 +1,84 @@
+"""Spherical-harmonics shading (SRenderY's lighting model).
+
+Port of the DECA/SRenderY 9-band SH Lambertian lighting
+(gdl/models/Renderer.py SRenderY.add_SHlight: constant-weighted SH basis on
+per-pixel normals x 9x3 light coefficients) plus a ``render_shape``-style
+grey shaded geometry render built on viz.rasterizer.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rasterizer import compute_vertex_normals, rasterize_batch
+
+# DECA's SH constant factors (pi*c, order 0..2)
+_SH_CONST = np.asarray(
+    [
+        1 / math.sqrt(4 * math.pi),
+        2 * math.pi / 3 * math.sqrt(3 / (4 * math.pi)),
+        2 * math.pi / 3 * math.sqrt(3 / (4 * math.pi)),
+        2 * math.pi / 3 * math.sqrt(3 / (4 * math.pi)),
+        math.pi / 4 * 3 * math.sqrt(5 / (12 * math.pi)),
+        math.pi / 4 * 3 * math.sqrt(5 / (12 * math.pi)),
+        math.pi / 4 * 3 * math.sqrt(5 / (12 * math.pi)),
+        math.pi / 4 * (3 / 2) * math.sqrt(5 / (12 * math.pi)),
+        math.pi / 4 * (1 / 2) * math.sqrt(5 / (4 * math.pi)),
+    ],
+    dtype=np.float32,
+)
+
+
+def sh_basis(normals: jax.Array) -> jax.Array:
+    """(..., 3) unit normals -> (..., 9) constant-weighted SH basis."""
+    nx, ny, nz = normals[..., 0], normals[..., 1], normals[..., 2]
+    ones = jnp.ones_like(nx)
+    basis = jnp.stack(
+        [
+            ones, -ny, nz, -nx,
+            nx * ny, -ny * nz, 3 * nz**2 - 1, -nx * nz, nx**2 - ny**2,
+        ],
+        axis=-1,
+    )
+    return basis * jnp.asarray(_SH_CONST)
+
+
+def add_sh_light(
+    normal_images: jax.Array,  # (B, H, W, 3)
+    sh_coeff: jax.Array,  # (B, 9, 3)
+) -> jax.Array:
+    """Per-pixel Lambertian shading (B, H, W, 3)."""
+    basis = sh_basis(normal_images)  # (B, H, W, 9)
+    return jnp.einsum("bhwk,bkc->bhwc", basis, sh_coeff)
+
+
+DEFAULT_LIGHT = np.zeros((9, 3), np.float32)
+DEFAULT_LIGHT[0] = 3.0  # soft ambient
+DEFAULT_LIGHT[2] = 1.0  # frontal directional
+
+
+def render_shaded(
+    vertices_ndc: jax.Array,  # (B, V, 3), z = depth
+    faces: jax.Array,
+    height: int = 256,
+    width: int = 256,
+    albedo: float = 0.7,
+    sh_coeff: Optional[jax.Array] = None,
+    background: float = 0.0,
+    chunk: int = 512,
+) -> jax.Array:
+    """DECA render_shape equivalent: grey SH-lit geometry images."""
+    B = vertices_ndc.shape[0]
+    normals = compute_vertex_normals(vertices_ndc, faces)
+    imgs, mask = rasterize_batch(vertices_ndc, faces, normals, height, width, chunk)
+    n = imgs / jnp.maximum(jnp.linalg.norm(imgs, axis=-1, keepdims=True), 1e-6)
+    if sh_coeff is None:
+        sh_coeff = jnp.broadcast_to(jnp.asarray(DEFAULT_LIGHT)[None], (B, 9, 3))
+    shading = add_sh_light(n, sh_coeff)
+    shaded = jnp.clip(albedo * shading / math.pi, 0.0, 1.0)
+    return jnp.where(mask[..., None], shaded, background)

@@ -1,0 +1,115 @@
+"""PIRender components: shape/jit tests + torch-parity for the tricky ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as TF
+
+from avi_talking_tpu.models.pirender import (
+    FaceGenerator,
+    MappingNet,
+    PIRenderConfig,
+    convert_flow_to_deformation,
+    grid_sample_bilinear,
+)
+
+
+def test_grid_sample_matches_torch():
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 8, 10, 3)).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, (2, 6, 7, 2)).astype(np.float32)
+    ref = TF.grid_sample(
+        torch.from_numpy(img.transpose(0, 3, 1, 2)), torch.from_numpy(grid),
+        mode="bilinear", padding_mode="zeros", align_corners=False,
+    ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(grid_sample_bilinear(jnp.asarray(img), jnp.asarray(grid)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flow_to_deformation_matches_torch():
+    rng = np.random.default_rng(1)
+    flow = rng.standard_normal((1, 5, 6, 2)).astype(np.float32) * 3
+    # torch reference math (flow in NCHW, channel 0 = x)
+    tf = torch.from_numpy(flow.transpose(0, 3, 1, 2))
+    b, c, h, w = tf.shape
+    flow_norm = 2 * torch.cat([tf[:, :1] / (w - 1), tf[:, 1:] / (h - 1)], 1)
+    xs = 2 * (torch.arange(w) / (w - 1)) - 1
+    ys = 2 * (torch.arange(h) / (h - 1)) - 1
+    grid = torch.stack(
+        [xs.view(1, -1).repeat(h, 1), ys.view(-1, 1).repeat(1, w)], dim=2
+    )[None]
+    ref = (grid + flow_norm.permute(0, 2, 3, 1)).numpy()
+    got = np.asarray(convert_flow_to_deformation(jnp.asarray(flow)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_mapping_net_matches_torch_oracle():
+    # reconstruct the reference MappingNet in torch (face_model.py:40-64)
+    cfg = PIRenderConfig(coeff_nc=9, descriptor_nc=16, mapping_layers=2)
+    torch.manual_seed(0)
+    first = torch.nn.Conv1d(9, 16, 7, padding=0)
+    enc0 = torch.nn.Conv1d(16, 16, 3, padding=0, dilation=3)
+    enc1 = torch.nn.Conv1d(16, 16, 3, padding=0, dilation=3)
+
+    x = torch.randn(2, 9, 27)
+    with torch.no_grad():
+        out = first(x)
+        for enc in (enc0, enc1):
+            out = enc(TF.leaky_relu(out, 0.1)) + out[:, :, 3:-3]
+        ref = out.mean(dim=2).numpy()  # adaptive avg pool to 1
+
+    model = MappingNet(cfg)
+    params = {
+        "params": {
+            "first": {"kernel": first.weight.detach().numpy().transpose(2, 1, 0),
+                      "bias": first.bias.detach().numpy()},
+            "encoder0": {"kernel": enc0.weight.detach().numpy().transpose(2, 1, 0),
+                         "bias": enc0.bias.detach().numpy()},
+            "encoder1": {"kernel": enc1.weight.detach().numpy().transpose(2, 1, 0),
+                         "bias": enc1.bias.detach().numpy()},
+        }
+    }
+    got = np.asarray(model.apply(params, x.numpy().transpose(0, 2, 1)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_face_generator_end_to_end_tiny():
+    cfg = PIRenderConfig.tiny()
+    gen = FaceGenerator(cfg)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    coeffs = jnp.asarray(rng.standard_normal((1, 27, cfg.coeff_nc)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), img, coeffs)
+    out = jax.jit(lambda p, i, c: gen.apply(p, i, c))(params, img, coeffs)
+    assert out["fake_image"].shape == (1, 32, 32, 3)
+    assert out["warp_image"].shape == (1, 32, 32, 3)
+    # flow is predicted at the hourglass output resolution (enc 3x / dec 2x
+    # of 32 -> 16); the deformation is upsampled to image size for warping
+    assert out["flow_field"].shape == (1, 16, 16, 2)
+    assert out["deformation"].shape == (1, 32, 32, 2)
+    assert np.abs(np.asarray(out["fake_image"])).max() <= 1.0
+    # warp-only stage skips the editing net
+    out_warp = gen.apply(params, img, coeffs, stage="warp")
+    assert "fake_image" not in out_warp
+
+
+def test_conv_transpose2d_mapping():
+    """flax ConvTranspose(((1,2),(1,2)), transpose_kernel) == torch
+    ConvTranspose2d(k3,s2,p1,op1)."""
+    import flax.linen as fnn
+
+    torch.manual_seed(1)
+    tconv = torch.nn.ConvTranspose2d(4, 6, 3, stride=2, padding=1, output_padding=1)
+    x = torch.randn(2, 4, 7, 9)
+    with torch.no_grad():
+        ref = tconv(x).numpy().transpose(0, 2, 3, 1)
+    conv = fnn.ConvTranspose(6, (3, 3), strides=(2, 2),
+                             padding=((1, 2), (1, 2)), transpose_kernel=True)
+    params = {"params": {
+        "kernel": tconv.weight.detach().numpy().transpose(2, 3, 1, 0),
+        "bias": tconv.bias.detach().numpy(),
+    }}
+    got = np.asarray(conv.apply(params, x.numpy().transpose(0, 2, 3, 1)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
