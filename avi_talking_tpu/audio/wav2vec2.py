@@ -234,6 +234,7 @@ class Wav2Vec2Model(nn.Module):
         output_len: Optional[int] = None,
         resample: bool = True,
         deterministic: bool = True,
+        mask_time_indices: Optional[jax.Array] = None,  # (B, T) bool
     ) -> jax.Array:
         c = self.cfg
         x = FeatureExtractor(c, self.dtype, self.param_dtype, name="feature_extractor")(
@@ -248,6 +249,18 @@ class Wav2Vec2Model(nn.Module):
                 )
             x = linear_interpolate(x, output_len, axis=1)
         x = FeatureProjection(c, self.dtype, self.param_dtype, name="feature_projection")(x)
+
+        if mask_time_indices is not None:
+            # SpecAugment-style time masking: replace masked frames with the
+            # learned mask embedding (reference models/lib/wav2vec.py:123-133;
+            # indices come from audio.specaugment.compute_mask_indices)
+            masked_embed = self.param(
+                "masked_spec_embed",
+                nn.initializers.uniform(1.0),
+                (c.hidden_size,),
+                self.param_dtype,
+            ).astype(x.dtype)
+            x = jnp.where(mask_time_indices[..., None], masked_embed[None, None], x)
 
         pos = PositionalConvEmbedding(c, self.dtype, self.param_dtype, name="pos_conv_embed")(x)
         x = x + pos

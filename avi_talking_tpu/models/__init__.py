@@ -15,3 +15,14 @@ from .faceformer_vert import (
 from .fan_encoder import FanEncoder, fan_encoder_params_from_torch, mask_lip
 from .pirender import FaceGenerator, PIRenderConfig
 from .clip_text import ClipTextConfig, ClipTextModel, clip_text_params_from_torch
+from .resnet import ResNet50, resnet50_params_from_torch
+from .emoca import (
+    DecaEncoder,
+    EmocaEncoder,
+    EmoNetLoss,
+    EmotionRecognitionModule,
+    deca_encoder_params_from_torch,
+    emoca_pseudo_gt,
+    split_deca_code,
+)
+from .flint_vae import FlintEncoder, FlintVAE

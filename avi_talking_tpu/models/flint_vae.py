@@ -1,0 +1,122 @@
+"""FLINT motion prior — encoder + full temporal VAE (training).
+
+Completes models/flint.py (decoder-only inference path) with the encoder and
+VAE wrapper of the reference's ``L2lVqVae``
+(/root/reference/third_party/inferno/inferno/models/temporal/motion_prior/L2lMotionPrior.py:33-360):
+
+  * squasher: Conv1d(k5, s2, replicate pad) then (q-1) x [Conv1d(k5, s1) +
+    MaxPool1d(2)] stages, each LeakyReLU(0.2)+BatchNorm1d -> T/2^q latents,
+  * linear embed -> PE -> transformer encoder,
+  * Gaussian head (mean/logvar linears) + reparameterised sample,
+  * VAE loss: reconstruction MSE on exp/jaw sequences + beta * KL.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.positional import periodic_positional_encoding, sinusoidal_positional_encoding
+from ..ops.transformer import TransformerEncoder
+from .flint import FlintConfig, FlintDecoder, _LeakyBN
+
+
+def _replicate_pad_1d(x: jax.Array, pad: int = 2) -> jax.Array:
+    return jnp.concatenate([x[:, :1]] * pad + [x] + [x[:, -1:]] * pad, axis=1)
+
+
+class FlintEncoder(nn.Module):
+    """(B, T, in_dim) motion -> (B, T/2^q, D) latent features."""
+
+    cfg: FlintConfig
+    in_dim: int = 53
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = self.cfg
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        # squasher stage 0: strided conv /2
+        h = nn.Conv(c.feature_dim, (5,), strides=(2,), padding="VALID",
+                    name="squasher_0_conv", **dd)(_replicate_pad_1d(x))
+        h = _LeakyBN(c.feature_dim, name="squasher_0_post", **dd)(
+            h, use_running_average=not train
+        )
+        for i in range(1, c.quant_factor):
+            h = nn.Conv(c.feature_dim, (5,), padding="VALID",
+                        name=f"squasher_{i}_conv", **dd)(_replicate_pad_1d(h))
+            h = _LeakyBN(c.feature_dim, name=f"squasher_{i}_post", **dd)(
+                h, use_running_average=not train
+            )
+            h = nn.max_pool(h, (2,), strides=(2,))
+        h = nn.Dense(c.feature_dim, name="encoder_linear_embedding", **dd)(h)
+        T = h.shape[1]
+        if c.positional_encoding == "sinusoidal":
+            h = h + sinusoidal_positional_encoding(T, c.feature_dim, self.dtype)[None]
+        elif c.positional_encoding == "periodic":
+            h = h + periodic_positional_encoding(
+                T, c.feature_dim, c.pe_period, self.dtype
+            )[None]
+        return TransformerEncoder(
+            num_layers=c.num_layers, d_model=c.feature_dim, nhead=c.nhead,
+            dim_feedforward=c.intermediate_size, activation=c.activation,
+            name="encoder_transformer", **dd,
+        )(h)
+
+
+class FlintVAE(nn.Module):
+    """Gaussian temporal VAE over exp+jaw sequences (L2lVqVae, VAE mode)."""
+
+    cfg: FlintConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = FlintEncoder(c, in_dim=c.out_dim, name="encoder", **dd)
+        self.mean = nn.Dense(c.feature_dim, name="mean", **dd)
+        self.logvar = nn.Dense(c.feature_dim, name="logvar", **dd)
+        self.decoder = FlintDecoder(c, name="decoder", **dd)
+
+    def encode(self, motion: jax.Array, train: bool = False):
+        feats = self.encoder(motion, train=train)
+        return self.mean(feats), self.logvar(feats)
+
+    def decode(self, latents: jax.Array, train: bool = False) -> jax.Array:
+        return self.decoder(latents, train=train)
+
+    def __call__(
+        self,
+        motion: jax.Array,  # (B, T, out_dim), T multiple of 2^q
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        sample: bool = True,
+    ):
+        mu, logvar = self.encode(motion, train)
+        if sample and rng is not None:
+            std = jnp.exp(0.5 * logvar)
+            z = mu + std * jax.random.normal(rng, mu.shape, mu.dtype)
+        else:
+            z = mu
+        recon = self.decode(z, train)
+        return {"reconstruction": recon, "mu": mu, "logvar": logvar, "z": z}
+
+    def loss(
+        self, motion: jax.Array, rng: jax.Array, kl_weight: float = 0.01,
+        train: bool = False,
+        # train=True requires apply(..., mutable=["batch_stats"]) to collect
+        # the BatchNorm running-stat updates
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        out = self(motion, rng, train=train)
+        recon = jnp.mean((out["reconstruction"] - motion) ** 2)
+        kl = -0.5 * jnp.mean(
+            1 + out["logvar"] - out["mu"] ** 2 - jnp.exp(out["logvar"])
+        )
+        loss = recon + kl_weight * kl
+        return loss, {"loss": loss, "recon": recon, "kl": kl}

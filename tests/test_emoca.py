@@ -1,0 +1,159 @@
+"""ResNet50 parity vs torch oracle; EMOCA encoder/pseudo-GT; EmoNet loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as TF
+
+from avi_talking_tpu.models.emoca import (
+    DecaEncoder,
+    EmoNetLoss,
+    EmocaEncoder,
+    EmotionRecognitionModule,
+    deca_encoder_params_from_torch,
+    emoca_pseudo_gt,
+    split_deca_code,
+)
+from avi_talking_tpu.models.resnet import ResNet50, resnet50_params_from_torch
+
+
+# --- compact torch ResNet50 oracle (public torchvision layout) --------------
+
+
+class TBottleneck(tnn.Module):
+    def __init__(self, inp, planes, stride=1, down=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inp, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = (
+            tnn.Sequential(
+                tnn.Conv2d(inp, planes * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * 4),
+            )
+            if down
+            else None
+        )
+
+    def forward(self, x):
+        out = TF.relu(self.bn1(self.conv1(x)))
+        out = TF.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        sc = self.downsample(x) if self.downsample is not None else x
+        return TF.relu(out + sc)
+
+
+class TResNet50(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        layers = []
+        inp, planes = 64, 64
+        for li, blocks in enumerate((3, 4, 6, 3)):
+            stage = []
+            for bi in range(blocks):
+                stride = 2 if (bi == 0 and li > 0) else 1
+                stage.append(TBottleneck(inp, planes, stride, down=(bi == 0)))
+                inp = planes * 4
+            layers.append(tnn.Sequential(*stage))
+            planes *= 2
+        self.layer1, self.layer2, self.layer3, self.layer4 = layers
+
+    def forward(self, x):
+        x = TF.relu(self.bn1(self.conv1(x)))
+        x = TF.max_pool2d(x, 3, 2, 1)
+        for l in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = l(x)
+        return x.mean(dim=(2, 3))
+
+
+@pytest.mark.slow
+def test_resnet50_parity():
+    torch.manual_seed(0)
+    oracle = TResNet50().eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        ref = oracle(x).numpy()
+    variables = resnet50_params_from_torch(oracle.state_dict())
+    got = np.asarray(
+        ResNet50().apply(variables, x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_deca_encoder_and_split():
+    torch.manual_seed(1)
+    oracle = TResNet50().eval()
+    head0 = tnn.Linear(2048, 1024)
+    head2 = tnn.Linear(1024, 236)
+    sd = {f"encoder.{k}": v for k, v in oracle.state_dict().items()}
+    sd.update({f"layers.0.{k}": v for k, v in head0.state_dict().items()})
+    sd.update({f"layers.2.{k}": v for k, v in head2.state_dict().items()})
+    variables = deca_encoder_params_from_torch(sd)
+    x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    code = DecaEncoder().apply(variables, x)
+    assert code.shape == (1, 236)
+    with torch.no_grad():
+        ref = head2(TF.relu(head0(oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))))).numpy()
+    np.testing.assert_allclose(np.asarray(code), ref, rtol=1e-3, atol=1e-3)
+
+    parts = split_deca_code(code)
+    assert parts["shape"].shape == (1, 100)
+    assert parts["exp"].shape == (1, 50)
+    assert parts["pose"].shape == (1, 6)
+    assert parts["light"].shape == (1, 27)
+
+
+def test_emoca_encoder_shapes():
+    enc = EmocaEncoder()
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    codes = enc.apply(variables, x)
+    assert codes["exp"].shape == (2, 50)
+    assert codes["shape"].shape == (2, 100)
+
+
+def test_pseudo_gt_semantics():
+    rng = np.random.default_rng(2)
+    T = 5
+    codes = {
+        "shape": jnp.asarray(rng.standard_normal((T, 100)).astype(np.float32)),
+        "exp": jnp.asarray(rng.standard_normal((T, 50)).astype(np.float32)),
+        "pose": jnp.asarray(rng.standard_normal((T, 6)).astype(np.float32)),
+        "tex": jnp.asarray(rng.standard_normal((T, 50)).astype(np.float32)),
+    }
+    validity = jnp.asarray([1.0, 1.0, 0.0, 1.0, 1.0])
+    gt = emoca_pseudo_gt(codes, validity)
+    assert gt["gt_shape"].shape == (100,)
+    # frame 2 excluded from the shape average
+    expected = np.asarray(codes["shape"])[np.asarray([0, 1, 3, 4])].mean(0)
+    np.testing.assert_allclose(np.asarray(gt["gt_shape"]), expected, rtol=1e-5)
+    assert gt["gt_jaw"].shape == (T, 3)
+    np.testing.assert_allclose(
+        np.asarray(gt["gt_jaw"]), np.asarray(codes["pose"])[:, 3:], rtol=1e-6
+    )
+
+
+def test_emonet_loss():
+    mod = EmotionRecognitionModule()
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(variables, x)
+    assert out["expr_classification"].shape == (1, 8)
+    assert out["emo_feat_2"].shape == (1, 2048)
+
+    loss_fn = EmoNetLoss(mod)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    loss, metrics = loss_fn(variables, a, a)
+    assert float(loss) == 0.0
+    b = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    loss2, _ = loss_fn(variables, a, b)
+    assert float(loss2) > 0.0
