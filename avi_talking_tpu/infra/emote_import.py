@@ -1,0 +1,93 @@
+"""EMOTE checkpoint importer: inferno TalkingHead .ckpt -> EmoteTalkingHead.
+
+Maps the pretrained EMOTE layout (inferno TalkingHeadBase attribute tree,
+Lightning 'state_dict' with 'talking_head_model.' / bare prefixes —
+TalkingHeadWrapper.load path, inferno_apps/TalkingHead/utils/load.py:28-41):
+
+    audio_model.model.*                       -> audio_encoder (wav2vec2)
+    sequence_encoder.linear.*                 -> sequence_encoder
+    sequence_decoder.obj_vector.map.*         -> style_encoder.map
+    sequence_decoder.bert_decoder.layers.*    -> bert_decoder
+    sequence_decoder.decoder.*                -> decoder
+    sequence_decoder.squasher_2.linear.*      -> squasher (stack_linear)
+    sequence_decoder.motion_prior.motion_decoder.* -> motion_prior (FLINT)
+
+Best-effort: prefix variants are probed; anything missing raises with the
+unmatched keys listed so real checkpoints can be mapped incrementally.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+from ..audio.import_hf import wav2vec2_params_from_torch
+from ..models.emote import EmoteConfig
+from . import torch_compat as tc
+
+
+def _strip(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _first_prefix(sd: Mapping[str, Any], cands) -> str:
+    for c in cands:
+        if any(k.startswith(c) for k in sd):
+            return c
+    raise KeyError(f"none of the prefixes {cands} found; keys look like "
+                   f"{list(sd)[:5]}")
+
+
+def _flint_decoder_params(sd: Mapping[str, Any], quant_factor: int) -> Dict[str, Any]:
+    p: Dict[str, Any] = {}
+    # expander 0: ConvTranspose1d; expander i>0: Conv1d (each Sequential
+    # [conv, LeakyReLU, BatchNorm1d])
+    p["expander_0_conv"] = tc.conv_transpose1d_params(sd, "expander.0.0.")
+    bn = tc.batchnorm1d_params(sd, "expander.0.2.")
+    p["expander_0_post"] = {"bn": bn["params"]}
+    stats = {"expander_0_post": {"bn": bn["batch_stats"]}}
+    for i in range(1, quant_factor):
+        p[f"expander_{i}_conv"] = tc.conv1d_params(sd, f"expander.{i}.0.")
+        bn = tc.batchnorm1d_params(sd, f"expander.{i}.2.")
+        p[f"expander_{i}_post"] = {"bn": bn["params"]}
+        stats[f"expander_{i}_post"] = {"bn": bn["batch_stats"]}
+    p["decoder_linear_embedding"] = tc.linear_params(sd, "decoder_linear_embedding.")
+    n_layers = 0
+    while f"decoder_transformer.layers.{n_layers}.self_attn.in_proj_weight" in sd:
+        n_layers += 1
+    p["decoder_transformer"] = tc.encoder_params(sd, "decoder_transformer.", n_layers)
+    p["cross_smooth_layer"] = tc.conv1d_params(sd, "cross_smooth_layer.")
+    return {"params": p, "batch_stats": stats}
+
+
+def emote_params_from_torch(
+    sd: Mapping[str, Any], cfg: EmoteConfig
+) -> Dict[str, Any]:
+    """Full EMOTE state dict -> variables for models.emote.EmoteTalkingHead."""
+    base = _first_prefix(sd, ("talking_head_model.", ""))
+    sd = _strip(sd, base) if base else dict(sd)
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    audio_sd = _strip(sd, _first_prefix(sd, ("audio_model.model.", "audio_model.")))
+    params["audio_encoder"] = wav2vec2_params_from_torch(audio_sd, cfg.wav2vec2)
+
+    seq_prefix = _first_prefix(sd, ("sequence_encoder.linear.", "sequence_encoder."))
+    params["sequence_encoder"] = tc.linear_params(sd, seq_prefix)
+
+    dec = _strip(sd, "sequence_decoder.")
+    params["style_encoder"] = {"map": tc.linear_params(dec, "obj_vector.map.")}
+    if any(k.startswith("bert_decoder.") for k in dec):
+        params["bert_decoder"] = tc.encoder_params(dec, "bert_decoder.", cfg.num_layers)
+    params["decoder"] = tc.linear_params(dec, "decoder.")
+    sq_prefix = _first_prefix(dec, ("squasher_2.linear.", "squasher.linear."))
+    params["squasher"] = tc.linear_params(dec, sq_prefix)
+
+    flint_sd = _strip(dec, _first_prefix(
+        dec, ("motion_prior.motion_decoder.", "motion_prior.decoder.")
+    ))
+    flint = _flint_decoder_params(flint_sd, cfg.flint.quant_factor)
+    params["motion_prior"] = flint["params"]
+    stats["motion_prior"] = flint["batch_stats"]
+
+    return {"params": params, "batch_stats": stats}

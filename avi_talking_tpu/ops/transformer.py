@@ -48,6 +48,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_fused_kernel: bool = False  # Pallas fused attention (TPU only)
 
     @nn.compact
     def __call__(
@@ -89,14 +90,22 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(b, s, h, head_dim).transpose(0, 2, 1, 3)
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, self.dtype))
-        logits = jnp.einsum(
-            "bhtd,bhsd->bhts", q * scale, k, preferred_element_type=jnp.float32
-        )
-        merged = _merge_bias(bias, b, h, t, s)
-        if merged is not None:
-            logits = logits + merged.astype(logits.dtype)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhts,bhsd->bhtd", weights, v)
+        if self.use_fused_kernel:
+            from .pallas.attention import fused_bias_attention
+
+            merged = _merge_bias(bias, b, h, t, s)
+            if merged is None:
+                merged = jnp.zeros((1, 1, t, s), self.dtype)
+            out = fused_bias_attention(q * scale, k, v, merged)
+        else:
+            logits = jnp.einsum(
+                "bhtd,bhsd->bhts", q * scale, k, preferred_element_type=jnp.float32
+            )
+            merged = _merge_bias(bias, b, h, t, s)
+            if merged is not None:
+                logits = logits + merged.astype(logits.dtype)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhts,bhsd->bhtd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
 
         out_w = self.param(

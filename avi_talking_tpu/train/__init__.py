@@ -9,3 +9,4 @@ from .landmark_losses import (
     weighted_landmark_loss,
 )
 from .perceptual import PerceptualLoss, Vgg19Features, vgg19_params_from_torch
+from .eval_metrics import style_diversity, vertex_l2, lip_vertex_error, condition_exchange
