@@ -6,6 +6,7 @@ Subcommands:
              the reference's `diffusion_test.sh align_emote` product path
              (train_diffusion_prior.py:655-774)
   bench      run the single-chip RTF benchmark
+  train-prior diffusion-prior training loop (synthetic or real batches)
   stats      regenerate Mead coefficient statistics from a dataset root
 
 Checkpoints/assets are optional: without them the models run random-init
@@ -121,6 +122,24 @@ def cmd_stats(args) -> int:
     return 0
 
 
+
+
+def cmd_train_prior(args) -> int:
+    from .train.driver import PriorTrainingConfig, train_prior
+    from .parallel import make_mesh
+
+    cfg = PriorTrainingConfig(
+        total_steps=args.steps, batch_size=args.batch_size, max_lr=args.lr,
+    )
+    mesh = None
+    import jax
+
+    if args.dp and len(jax.devices()) > 1:
+        mesh = make_mesh(tp=1)
+    res = train_prior(cfg, logdir=args.logdir, ckpt_dir=args.ckpt_dir, mesh=mesh)
+    print("final:", res["metrics"])
+    return 0
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="avi-talking-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -157,6 +176,15 @@ def main(argv=None) -> int:
     s.add_argument("--std-out", default="coeff_std_Mead.npy")
     s.add_argument("--max-clips", type=int, default=200)
     s.set_defaults(fn=cmd_stats)
+
+    t = sub.add_parser("train-prior", help="diffusion prior training loop")
+    t.add_argument("--steps", type=int, default=500)
+    t.add_argument("--batch-size", type=int, default=256)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--logdir", default=None)
+    t.add_argument("--ckpt-dir", default=None)
+    t.add_argument("--dp", action="store_true", help="shard batch over devices")
+    t.set_defaults(fn=cmd_train_prior)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,195 @@
+"""Runnable training drivers (the train_diffusion_prior.py `trainer()`
+equivalent): prior training and FLINT-VAE training loops with metering,
+checkpointing and DP sharding.
+
+Data contract for prior training (mirrors prepare_train_data,
+train_diffusion_prior.py:172-197): each batch needs
+  voxel        (B, 768)  CLIP text embedding means
+  style_target (B, 128)  frozen-EMOTE style embeddings (clip_target)
+Batches come from any iterator; `synthetic_batches` provides a structured
+random stream so the loop runs end to end without the external corpora.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..infra import checkpoint as ckpt_lib
+from ..infra.meters import Meter, set_summary_writer, write_metrics
+from ..models.brain import BrainNetwork
+from ..models.diffusion import DiffusionPrior, NoiseScheduler
+from ..models.prior_transformer import PriorTransformerNetwork
+from .losses import cosine_anneal
+from .prior import PriorTrainState, PriorTrainer, make_prior_optimizer
+
+
+def synthetic_batches(
+    batch_size: int, steps: int, in_dim: int = 768, style_dim: int = 128,
+    n_styles: int = 64, seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Structured random (voxel, style) pairs: a fixed codebook of styles,
+    voxels = noisy projections — enough signal for retrieval metrics to
+    move, no external data needed."""
+    rng = np.random.default_rng(seed)
+    styles = rng.standard_normal((n_styles, style_dim)).astype(np.float32)
+    proj = rng.standard_normal((style_dim, in_dim)).astype(np.float32) / np.sqrt(style_dim)
+    for _ in range(steps):
+        idx = rng.integers(0, n_styles, batch_size)
+        s = styles[idx]
+        v = s @ proj + rng.standard_normal((batch_size, in_dim)).astype(np.float32) * 0.1
+        yield {"voxel": v, "style_target": s}
+
+
+@dataclasses.dataclass
+class PriorTrainingConfig:
+    clip_size: int = 128
+    in_dim: int = 768
+    depth: int = 6
+    heads: int = 8
+    dim_head: int = 64
+    timesteps: int = 100
+    max_lr: float = 1e-4
+    total_steps: int = 1000
+    batch_size: int = 256
+    log_every: int = 50
+    nce_temp_start: float = 0.004
+    nce_temp_end: float = 0.0075
+
+
+def train_prior(
+    cfg: PriorTrainingConfig,
+    batches: Optional[Iterator[Dict[str, np.ndarray]]] = None,
+    logdir: Optional[str] = None,
+    ckpt_dir: Optional[str] = None,
+    mesh=None,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Run the prior training loop; returns final state + last metrics."""
+    if logdir:
+        set_summary_writer(logdir)
+    if batches is None:
+        batches = synthetic_batches(cfg.batch_size, cfg.total_steps,
+                                    cfg.in_dim, cfg.clip_size, seed=seed)
+
+    rng = jax.random.PRNGKey(seed)
+    brain = BrainNetwork(out_dim=cfg.clip_size, in_dim=cfg.in_dim,
+                         clip_size=cfg.clip_size)
+    net = PriorTransformerNetwork(dim=cfg.clip_size, depth=cfg.depth,
+                                  heads=cfg.heads, dim_head=cfg.dim_head)
+    params = {
+        "brain": brain.init(rng, jnp.zeros((1, cfg.in_dim))),
+        "prior": net.init(
+            rng, jnp.zeros((1, 1, cfg.clip_size)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, cfg.clip_size)),
+        ),
+    }
+    prior = DiffusionPrior(net=net, scheduler=NoiseScheduler.create(cfg.timesteps))
+    tx, sched = make_prior_optimizer(params, cfg.max_lr, cfg.total_steps)
+    trainer = PriorTrainer(brain=brain, prior=prior, tx=tx)
+    state = PriorTrainState.create(params, tx)
+    step_fn = trainer.jitted_train_step(donate=True)
+
+    temps = np.asarray(
+        cosine_anneal(cfg.nce_temp_start, cfg.nce_temp_end, max(cfg.total_steps, 2))
+    )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        put = lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("dp")))
+    else:
+        put = jnp.asarray
+
+    metrics: Dict[str, Any] = {}
+    t0 = time.time()
+    for i, batch in enumerate(batches):
+        state, metrics = step_fn(
+            state,
+            put(batch["voxel"]),
+            put(batch["style_target"]),
+            jax.random.fold_in(rng, i),
+            jnp.asarray(temps[min(i, len(temps) - 1)]),
+        )
+        if (i + 1) % cfg.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            write_metrics(metrics, step=i + 1, prefix="prior/")
+            if jax.process_index() == 0:
+                rate = (i + 1) / (time.time() - t0)
+                print(f"step {i+1}: loss={m['loss']:.4f} "
+                      f"nce={m['loss_nce']:.4f} prior={m['loss_prior']:.4f} "
+                      f"top1={m['top1_fwd']:.3f} ({rate:.1f} it/s)")
+    if ckpt_dir:
+        ckpt_lib.save_checkpoint(ckpt_dir, {"params": state.params,
+                                            "step": state.step})
+    return {"state": state, "metrics": {k: float(v) for k, v in metrics.items()}}
+
+
+def train_flint_vae(
+    motion_batches: Iterator[np.ndarray],
+    total_steps: int,
+    flint_cfg=None,
+    lr: float = 1e-4,
+    kl_weight: float = 0.01,
+    logdir: Optional[str] = None,
+    ckpt_dir: Optional[str] = None,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Motion-prior (FLINT) VAE training loop."""
+    import optax
+
+    from ..models.flint import FlintConfig
+    from ..models.flint_vae import FlintVAE
+
+    if logdir:
+        set_summary_writer(logdir)
+    cfg = flint_cfg or FlintConfig()
+    vae = FlintVAE(cfg)
+    rng = jax.random.PRNGKey(seed)
+    first = next(iter(motion_batches))
+    variables = vae.init(rng, jnp.asarray(first), rng)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adamw(lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt, motion, key):
+        def lf(p):
+            (loss, m), new_model_state = vae.apply(
+                {"params": p, "batch_stats": stats}, motion, key,
+                kl_weight, True, method=FlintVAE.loss,
+                mutable=["batch_stats"],
+            )
+            return loss, (m, new_model_state)
+
+        (loss, (m, new_state)), g = jax.value_and_grad(lf, has_aux=True)(params)
+        upd, opt = tx.update(g, opt, params)
+        return (optax.apply_updates(params, upd),
+                new_state["batch_stats"], opt, m)
+
+    metrics = {}
+    for i, motion in enumerate([first] if total_steps == 1 else
+                               _chain(first, motion_batches, total_steps)):
+        params, stats, opt, metrics = step(
+            params, stats, opt, jnp.asarray(motion), jax.random.fold_in(rng, i)
+        )
+        if logdir and (i + 1) % 50 == 0:
+            write_metrics(metrics, step=i + 1, prefix="flint/")
+    if ckpt_dir:
+        ckpt_lib.save_checkpoint(
+            ckpt_dir, {"params": params, "batch_stats": stats}
+        )
+    return {"params": params, "batch_stats": stats,
+            "metrics": {k: float(v) for k, v in metrics.items()}}
+
+
+def _chain(first, rest, limit):
+    yield first
+    for i, x in enumerate(rest):
+        if i + 1 >= limit:
+            return
+        yield x

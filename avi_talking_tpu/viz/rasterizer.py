@@ -32,16 +32,21 @@ def _pixel_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array
     return jnp.meshgrid(xs, ys)  # each (h, w) with [0]=x, [1]=y
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def rasterize(
     vertices: jax.Array,  # (V, 3) NDC, z = depth
     faces: jax.Array,  # (F, 3) int
-    attributes: jax.Array,  # (V, C)
+    attributes: jax.Array,  # (V, C) per-vertex OR (F, 3, C) per-corner
     height: int,
     width: int,
     chunk: int = 512,
+    per_corner: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Hard-rasterize one mesh -> ((H, W, C) image, (H, W) mask)."""
+    """Hard-rasterize one mesh -> ((H, W, C) image, (H, W) mask).
+
+    ``per_corner=True`` takes (F, 3, C) face-corner attributes (e.g. FLAME's
+    per-face UV indices, which don't share per-vertex values across seams).
+    """
     V = vertices.shape[0]
     F = faces.shape[0]
     C = attributes.shape[-1]
@@ -61,7 +66,13 @@ def rasterize(
     faces_p = faces_p.reshape(n_chunks, chunk, 3)
 
     tri_all = vertices[faces_p]  # (n_chunks, chunk, 3(corner), 3(xyz))
-    attr_all = attributes[faces_p]  # (n_chunks, chunk, 3, C)
+    if per_corner:
+        attr_p = jnp.concatenate(
+            [attributes, jnp.zeros((pad, 3, C), attributes.dtype)], axis=0
+        )
+        attr_all = attr_p.reshape(n_chunks, chunk, 3, C)
+    else:
+        attr_all = attributes[faces_p]  # (n_chunks, chunk, 3, C)
 
     def body(carry, inp):
         zbuf, img, mask = carry

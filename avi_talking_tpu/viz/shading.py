@@ -62,6 +62,50 @@ DEFAULT_LIGHT[0] = 3.0  # soft ambient
 DEFAULT_LIGHT[2] = 1.0  # frontal directional
 
 
+def render_textured(
+    vertices_ndc: jax.Array,  # (B, V, 3), z = depth
+    faces: jax.Array,  # (F, 3)
+    uvs: jax.Array,  # (Tv, 2) in [0, 1]
+    face_uvs: jax.Array,  # (F, 3) indices into uvs
+    texture: jax.Array,  # (Ht, Wt, 3) albedo in [0, 1]
+    height: int = 256,
+    width: int = 256,
+    sh_coeff: Optional[jax.Array] = None,
+    background: float = 0.0,
+    chunk: int = 512,
+) -> jax.Array:
+    """SRenderY-style textured render: rasterize per-corner UVs, bilinear
+    sample the texture, apply SH lighting on interpolated normals
+    (gdl/models/Renderer.py SRenderY.forward, texture + lighting path)."""
+    from ..models.pirender import grid_sample_bilinear
+    from .rasterizer import rasterize
+
+    B = vertices_ndc.shape[0]
+    normals = compute_vertex_normals(vertices_ndc, faces)
+    corner_uv = uvs[face_uvs]  # (F, 3, 2)
+
+    def one(v, nrm):
+        uv_img, mask = rasterize(v, faces, corner_uv, height, width, chunk,
+                                 per_corner=True)
+        n_img, _ = rasterize(v, faces, nrm, height, width, chunk)
+        return uv_img, n_img, mask
+
+    uv_img, n_img, mask = jax.vmap(one)(vertices_ndc, normals)
+    # uv in [0,1] -> sampling grid in [-1,1]
+    grid = uv_img * 2.0 - 1.0
+    # texture v axis points up in UV space -> flip to image rows
+    grid = jnp.stack([grid[..., 0], -grid[..., 1]], axis=-1)
+    albedo = grid_sample_bilinear(
+        jnp.broadcast_to(texture[None], (B,) + texture.shape), grid
+    )
+    n = n_img / jnp.maximum(jnp.linalg.norm(n_img, axis=-1, keepdims=True), 1e-6)
+    if sh_coeff is None:
+        sh_coeff = jnp.broadcast_to(jnp.asarray(DEFAULT_LIGHT)[None], (B, 9, 3))
+    shading = add_sh_light(n, sh_coeff)
+    img = jnp.clip(albedo * shading / math.pi, 0.0, 1.0)
+    return jnp.where(mask[..., None], img, background)
+
+
 def render_shaded(
     vertices_ndc: jax.Array,  # (B, V, 3), z = depth
     faces: jax.Array,

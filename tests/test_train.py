@@ -102,3 +102,36 @@ def test_weight_decay_mask_excludes_norms_and_biases():
     assert mask["norm1"]["scale"] is False
     assert mask["norm1"]["bias"] is False
     assert mask["attn"]["g"] is False
+
+
+def test_train_prior_driver_synthetic():
+    from avi_talking_tpu.train.driver import (
+        PriorTrainingConfig,
+        synthetic_batches,
+        train_prior,
+    )
+
+    cfg = PriorTrainingConfig(
+        clip_size=32, in_dim=48, depth=2, heads=4, dim_head=8, timesteps=10,
+        total_steps=30, batch_size=16, log_every=100, max_lr=1e-3,
+    )
+    res = train_prior(cfg, batches=synthetic_batches(16, 30, 48, 32))
+    assert int(res["state"].step) == 30
+    m = res["metrics"]
+    assert np.isfinite(m["loss"]) and 0.0 <= m["top1_fwd"] <= 1.0
+
+
+def test_train_flint_vae_driver():
+    from avi_talking_tpu.models.flint import FlintConfig
+    from avi_talking_tpu.train.driver import train_flint_vae
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield rng.standard_normal((2, 16, 9)).astype(np.float32) * 0.1
+
+    cfg = FlintConfig(feature_dim=16, bottleneck_dim=16, quant_factor=2,
+                      nhead=4, intermediate_size=32, out_dim=9, n_exp=6)
+    res = train_flint_vae(batches(), total_steps=10, flint_cfg=cfg, lr=1e-3)
+    assert np.isfinite(res["metrics"]["recon"])

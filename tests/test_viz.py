@@ -109,3 +109,29 @@ def test_flame_visualizer_end_to_end(tmp_path):
     assert os.path.exists(out)
     imgs = viz.render_verts(verts)
     assert imgs.shape == (T, 64, 64, 3)
+
+
+def test_per_corner_attributes_and_textured_render():
+    import jax.numpy as jnp
+    from avi_talking_tpu.viz import render_textured
+    from avi_talking_tpu.viz.rasterizer import rasterize as _rast
+
+    verts = jnp.asarray(
+        [[-0.9, -0.9, 0.5], [0.9, -0.9, 0.5], [0.0, 0.9, 0.5]], jnp.float32
+    )
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    # per-corner attrs equal per-vertex gather for a single tri
+    per_vertex = jnp.asarray([[1.0], [2.0], [3.0]])
+    per_corner = per_vertex[faces]
+    img_a, _ = _rast(verts, faces, per_vertex, 16, 16, chunk=1)
+    img_b, _ = _rast(verts, faces, per_corner, 16, 16, chunk=1, per_corner=True)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b), atol=1e-6)
+
+    uvs = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]], jnp.float32)
+    face_uvs = jnp.asarray([[0, 1, 2]], jnp.int32)
+    tex = jnp.ones((8, 8, 3)) * 0.8
+    out = render_textured(verts[None], faces, uvs, face_uvs, tex, 16, 16)
+    assert out.shape == (1, 16, 16, 3)
+    o = np.asarray(out)
+    assert o[0, 8, 8].max() > 0.05  # lit textured interior
+    assert (o[0, 0, 0] == 0).all()  # background
