@@ -90,9 +90,17 @@ class MeadEmocaDataset:
     stats: Optional[CoeffStats] = None
     smooth_pose: bool = False
     seed: int = 0
+    # clip-name -> caption(s) mapping (JSON file). Replacement for the
+    # reference's missing `talkclip_text_generation.TalkClipDatabase.query`
+    # (data_loader.py:275) — per-clip instruction captions for prior training.
+    captions_path: Optional[str] = None
 
     def __post_init__(self):
         self.index = build_index(self.root)
+        self._captions = {}
+        if self.captions_path and os.path.exists(self.captions_path):
+            with open(self.captions_path) as f:
+                self._captions = json.load(f)
         self.parser = MeadFilenameParser()
         self._rng = np.random.default_rng(self.seed)
         # neutral reference clip per identity (data_loader.py:149-155)
@@ -173,6 +181,12 @@ class MeadEmocaDataset:
         neutral = self._neutral_by_id.get(base.split("_")[0])
         if neutral:
             item["neutral_clip"] = neutral
+        caps = self._captions.get(clip["name"]) or self._captions.get(base)
+        if caps:
+            caps = [caps] if isinstance(caps, str) else list(caps)
+            item["text"] = caps[
+                int(self._rng.integers(0, len(caps))) if self.split == "train" else 0
+            ]
         return item
 
     def image_paths(self, i: int) -> List[str]:

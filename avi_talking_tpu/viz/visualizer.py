@@ -107,3 +107,47 @@ class FlameVisualizer:
         imgs = self.render_verts(verts)
         frames = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f in imgs]
         return save_frames_as_video(frames, save_path, fps, audio_path)
+
+
+class FixedViewRenderer:
+    """Multi-fixed-view shaded rendering of FLAME vertex sequences.
+
+    Equivalent of EMOTE's FixedViewFlameRenderer
+    (inferno/models/temporal/Renderers.py:244-343): a fixed set of
+    camera/pose buffers renders every frame from each view; an optional
+    mouth crop box supports the lip-reading consistency loss.
+    """
+
+    def __init__(self, faces, image_size: int = 224,
+                 cams=((8.0, 0.0, -0.01),), mouth_crop=(0.45, 0.85, 0.25, 0.75)):
+        import numpy as _np
+
+        self.faces = jnp.asarray(faces)
+        self.image_size = image_size
+        self.cams = jnp.asarray(_np.asarray(cams, _np.float32))
+        self.mouth_crop = mouth_crop
+
+    def render(self, verts) -> "np.ndarray":
+        """(T, V, 3) -> (n_views, T, H, W, 3) SH-shaded images."""
+        from .shading import render_shaded
+
+        verts = jnp.asarray(verts)
+        outs = []
+        for ci in range(self.cams.shape[0]):
+            cam = jnp.broadcast_to(self.cams[ci : ci + 1], (verts.shape[0], 3))
+            proj = batch_orth_proj(verts, cam)
+            ndc = jnp.stack(
+                [proj[..., 0], -proj[..., 1], -proj[..., 2]], axis=-1
+            )
+            outs.append(
+                np.asarray(
+                    render_shaded(ndc, self.faces, self.image_size, self.image_size)
+                )
+            )
+        return np.stack(outs)
+
+    def crop_mouth(self, images: "np.ndarray") -> "np.ndarray":
+        """(..., H, W, C) -> the fixed mouth box (lip-reading input crop)."""
+        h0, h1, w0, w1 = self.mouth_crop
+        H, W = images.shape[-3:-1]
+        return images[..., int(h0 * H) : int(h1 * H), int(w0 * W) : int(w1 * W), :]

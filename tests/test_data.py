@@ -148,3 +148,19 @@ def test_batching(mead_root):
     b = batches[0]
     assert b["coeff"].shape == (2, 25, 59)
     assert pad_to_bucket(b["coeff"][0], [32, 64], axis=0).shape[0] == 32
+
+
+def test_mead_captions_lookup(mead_root, tmp_path):
+    import json as _json
+
+    caps = {
+        "M003_front_neutral_level1_001": ["a calm neutral face"],
+        "M003_front_happy_level3_002": "a very happy face",
+    }
+    cp = tmp_path / "caps.json"
+    with open(cp, "w") as f:
+        _json.dump(caps, f)
+    ds = MeadEmocaDataset(root=mead_root, captions_path=str(cp), split="val")
+    texts = {ds[i]["name"]: ds[i].get("text") for i in range(len(ds))}
+    assert texts["M003_front_neutral_level1_001"] == "a calm neutral face"
+    assert texts["M003_front_happy_level3_002"] == "a very happy face"

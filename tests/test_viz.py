@@ -135,3 +135,18 @@ def test_per_corner_attributes_and_textured_render():
     o = np.asarray(out)
     assert o[0, 8, 8].max() > 0.05  # lit textured interior
     assert (o[0, 0, 0] == 0).all()  # background
+
+
+def test_fixed_view_renderer():
+    from avi_talking_tpu.core import FlameModel, synthetic_assets
+    from avi_talking_tpu.viz import FixedViewRenderer
+
+    assets = synthetic_assets(n_shape=8, n_exp=6)
+    model = FlameModel(assets, 8, 6)
+    verts = model.vertices_only(jnp.zeros((3, 8)), jnp.ones((3, 6)) * 0.1)
+    r = FixedViewRenderer(np.asarray(assets.faces), image_size=32,
+                          cams=((8.0, 0.0, 0.0), (8.0, 0.1, 0.0)))
+    imgs = r.render(verts)
+    assert imgs.shape == (2, 3, 32, 32, 3)
+    crop = r.crop_mouth(imgs)
+    assert crop.shape[-3] == int(0.85 * 32) - int(0.45 * 32)
