@@ -222,6 +222,65 @@ class AviTalkingPipeline:
 
     # ------------------------------------------------------------------
 
+    def generate_batch(
+        self,
+        wavs: list,
+        instructions: list[str],
+        seed: int = 0,
+        cond_scale: float = 1.0,
+        length_buckets: tuple = (64, 128, 256, 512),
+        sample_rate: int = 16_000,
+    ) -> list[Dict[str, np.ndarray]]:
+        """Batched serving path: one style-sampling dispatch + one animate
+        dispatch per length bucket. Clips are framed, padded to the bucket
+        boundary (so each bucket compiles once) and unpadded on return."""
+        from ..data.batching import pad_to_bucket
+
+        assert len(wavs) == len(instructions)
+        lfs = self.cfg.emote.flint.latent_frame_size
+        buckets = tuple(b - b % lfs for b in length_buckets)
+        frames_list, lens = [], []
+        for wav in wavs:
+            sr = sample_rate
+            if isinstance(wav, str):
+                wav, sr = read_wav(wav)
+            f = frame_audio(wav, sr, pad_to_multiple=lfs)
+            lens.append(f.shape[0])
+            frames_list.append(f)
+
+        styles = self.sample_style(instructions, jax.random.PRNGKey(seed), cond_scale)
+
+        results: list = [None] * len(wavs)
+        by_bucket: Dict[int, list] = {}
+        for i, f in enumerate(frames_list):
+            fitting = [b for b in buckets if f.shape[0] <= b]
+            if not fitting:
+                raise ValueError(
+                    f"clip {i} has {f.shape[0]} frames, larger than the "
+                    f"biggest length bucket {buckets[-1]}; pass bigger "
+                    f"length_buckets"
+                )
+            by_bucket.setdefault(fitting[0], []).append(i)
+        for b, idxs in by_bucket.items():
+            batch = np.stack(
+                [pad_to_bucket(normalize_audio(frames_list[i]).reshape(-1, 640),
+                               [b], axis=0) for i in idxs]
+            )
+            out = self._animate_fn(self.params["head"], jnp.asarray(batch),
+                                   styles[np.asarray(idxs)])
+            for j, i in enumerate(idxs):
+                T = lens[i]
+                res = {
+                    "exp": np.asarray(out["exp"][j, :T]),
+                    "jaw": np.asarray(out["jaw"][j, :T]),
+                    "style_emb": np.asarray(out["style_emb"][j]),
+                    "frames": frames_list[i],
+                }
+                if "vertices" in out:
+                    res["vertices"] = np.asarray(out["vertices"][j, :T])
+                results[i] = res
+        return results
+
     def generate(
         self,
         wav: np.ndarray | str,
