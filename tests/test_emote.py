@@ -81,3 +81,18 @@ def test_frame_count_must_match_latent_multiple(tiny_head):
     bad = audio[:, :7]  # not a multiple of 4
     with pytest.raises(AssertionError):
         head.apply(params, bad, cond)
+
+
+def test_sequence_encoder_variants():
+    import jax as _jax
+    from avi_talking_tpu.models.sequence_encoders import sequence_encoder_from_name
+
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 12, 24)).astype(np.float32)
+    )
+    for name in ("linear", "transformer", "gru", "tcn"):
+        enc = sequence_encoder_from_name(name, feature_dim=16)
+        params = enc.init(_jax.random.PRNGKey(0), x)
+        out = enc.apply(params, x)
+        assert out.shape == (2, 12, 16), name
+        assert np.isfinite(np.asarray(out)).all(), name
