@@ -178,7 +178,12 @@ class EncoderLayer(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        attn_bias: "Optional[jax.Array]" = None,  # (B, 1, 1, T) additive
+    ) -> jax.Array:
         c = self.cfg
         d, h = c.hidden_size, c.num_attention_heads
         head_dim = d // h
@@ -191,6 +196,8 @@ class EncoderLayer(nn.Module):
         k = k.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3)
         logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         ctx = jnp.einsum("bhts,bhsd->bhtd", attn, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, d)
@@ -235,7 +242,11 @@ class Wav2Vec2Model(nn.Module):
         resample: bool = True,
         deterministic: bool = True,
         mask_time_indices: Optional[jax.Array] = None,  # (B, T) bool
+        valid_len: Optional[jax.Array] = None,  # (B,) valid OUTPUT frames
     ) -> jax.Array:
+        """``valid_len`` masks padded tail frames out of self-attention (the
+        HF attention_mask path) so bucket-padded serving batches do not leak
+        padding into valid frames."""
         c = self.cfg
         x = FeatureExtractor(c, self.dtype, self.param_dtype, name="feature_extractor")(
             input_values
@@ -262,6 +273,15 @@ class Wav2Vec2Model(nn.Module):
             ).astype(x.dtype)
             x = jnp.where(mask_time_indices[..., None], masked_embed[None, None], x)
 
+        attn_bias = None
+        if valid_len is not None:
+            frame_ids = jnp.arange(x.shape[1])[None, :]
+            key_valid = frame_ids < valid_len[:, None]  # (B, T)
+            # zero padded features (HF zeroes masked hidden states) and mask
+            # them out of every attention's keys
+            x = jnp.where(key_valid[..., None], x, 0.0)
+            attn_bias = jnp.where(key_valid, 0.0, -1e9)[:, None, None, :]
+
         pos = PositionalConvEmbedding(c, self.dtype, self.param_dtype, name="pos_conv_embed")(x)
         x = x + pos
         x = nn.LayerNorm(
@@ -270,6 +290,6 @@ class Wav2Vec2Model(nn.Module):
         )(x)
         for i in range(c.num_hidden_layers):
             x = EncoderLayer(c, self.dtype, self.param_dtype, name=f"layers_{i}")(
-                x, deterministic
+                x, deterministic, attn_bias
             )
         return x

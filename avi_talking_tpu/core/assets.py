@@ -20,7 +20,7 @@ from typing import Optional
 
 import numpy as np
 
-from .flame import FLAME_NUM_JOINTS, FLAME_PARENTS, FlameAssets
+from .flame import FLAME_NUM_JOINTS, FlameAssets
 
 
 def _to_np(x) -> np.ndarray:

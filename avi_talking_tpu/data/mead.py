@@ -25,7 +25,7 @@ import dataclasses
 import glob
 import json
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

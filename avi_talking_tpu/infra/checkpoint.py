@@ -13,9 +13,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Mapping, Optional
 
-import jax
-import numpy as np
-
 
 def save_checkpoint(path: str, state: Any, force: bool = True) -> None:
     """Save a pytree (params / train state) with orbax."""

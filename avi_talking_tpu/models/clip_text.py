@@ -19,7 +19,6 @@ from typing import Any, Dict, Mapping
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..infra.torch_compat import layernorm_params, linear_params, to_np

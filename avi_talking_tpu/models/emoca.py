@@ -22,7 +22,7 @@ Ports of the reference's image->FLAME-code stack
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp

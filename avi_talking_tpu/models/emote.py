@@ -127,6 +127,7 @@ class EmoteTalkingHead(nn.Module):
         style_emb: Optional[jax.Array] = None,  # (B, 128) external
         gt_shape: Optional[jax.Array] = None,  # (B, n_shape)
         deterministic: bool = True,
+        valid_len: Optional[jax.Array] = None,  # (B,) valid frames (padding mask)
     ):
         c = self.cfg
         B, T = raw_audio.shape[:2]
@@ -137,7 +138,7 @@ class EmoteTalkingHead(nn.Module):
             f"pad_to_multiple)"
         )
         flat = raw_audio.reshape(B, -1).astype(self.dtype)
-        feats = self.audio_encoder(flat, output_len=T)
+        feats = self.audio_encoder(flat, output_len=T, valid_len=valid_len)
         if not c.audio_trainable:
             feats = jax.lax.stop_gradient(feats)
         hidden = self.sequence_encoder(feats)  # (B, T, D)

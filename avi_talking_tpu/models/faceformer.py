@@ -32,8 +32,6 @@ from flax import linen as nn
 
 from ..audio.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
 from ..ops.positional import (
-    NEG_INF,
-    alibi_slopes,
     enc_dec_alignment_bias,
     faceformer_bias,
     periodic_positional_encoding,

@@ -22,7 +22,7 @@ reference files share the skeleton and differ in conditioning/style):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ MXU; `repeat_interleave` is a reshape.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

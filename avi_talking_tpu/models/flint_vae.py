@@ -13,7 +13,6 @@ VAE wrapper of the reference's ``L2lVqVae``
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..infra.torch_compat import linear_params, to_np
+from ..infra.torch_compat import to_np
 
 _LAYERS50: Sequence[int] = (3, 4, 6, 3)
 

@@ -8,9 +8,6 @@ configs beyond the default can be reproduced.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

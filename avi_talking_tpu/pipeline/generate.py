@@ -214,9 +214,12 @@ class AviTalkingPipeline:
     def _animate_fn(self):
         head = self.head
 
-        @functools.partial(jax.jit, static_argnums=())
-        def animate(head_params, audio_frames, style_emb):
-            return head.apply(head_params, audio_frames, style_emb=style_emb)
+        @jax.jit
+        def animate(head_params, audio_frames, style_emb, valid_len=None):
+            return head.apply(
+                head_params, audio_frames, style_emb=style_emb,
+                valid_len=valid_len,
+            )
 
         return animate
 
@@ -233,7 +236,13 @@ class AviTalkingPipeline:
     ) -> list[Dict[str, np.ndarray]]:
         """Batched serving path: one style-sampling dispatch + one animate
         dispatch per length bucket. Clips are framed, padded to the bucket
-        boundary (so each bucket compiles once) and unpadded on return."""
+        boundary (so each bucket compiles once) and unpadded on return.
+
+        Padded frames are masked out of the wav2vec2 self-attention
+        (``valid_len``). Note the base extractor's group norm still sees the
+        padded length, so bucket-padded outputs are very close but not
+        bit-equal to per-clip ``generate`` — the same padded-batching caveat
+        HF documents for wav2vec2-base."""
         from ..data.batching import pad_to_bucket
 
         assert len(wavs) == len(instructions)
@@ -266,8 +275,9 @@ class AviTalkingPipeline:
                 [pad_to_bucket(normalize_audio(frames_list[i]).reshape(-1, 640),
                                [b], axis=0) for i in idxs]
             )
+            vl = jnp.asarray([lens[i] for i in idxs])
             out = self._animate_fn(self.params["head"], jnp.asarray(batch),
-                                   styles[np.asarray(idxs)])
+                                   styles[np.asarray(idxs)], vl)
             for j, i in enumerate(idxs):
                 T = lens[i]
                 res = {

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..infra import checkpoint as ckpt_lib
-from ..infra.meters import Meter, set_summary_writer, write_metrics
+from ..infra.meters import set_summary_writer, write_metrics
 from ..models.brain import BrainNetwork
 from ..models.diffusion import DiffusionPrior, NoiseScheduler
 from ..models.prior_transformer import PriorTransformerNetwork

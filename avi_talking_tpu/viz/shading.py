@@ -72,7 +72,7 @@ def render_textured(
     width: int = 256,
     sh_coeff: Optional[jax.Array] = None,
     background: float = 0.0,
-    chunk: int = 512,
+    chunk: int = 2048,
 ) -> jax.Array:
     """SRenderY-style textured render: rasterize per-corner UVs, bilinear
     sample the texture, apply SH lighting on interpolated normals
@@ -114,7 +114,7 @@ def render_shaded(
     albedo: float = 0.7,
     sh_coeff: Optional[jax.Array] = None,
     background: float = 0.0,
-    chunk: int = 512,
+    chunk: int = 2048,
 ) -> jax.Array:
     """DECA render_shape equivalent: grey SH-lit geometry images."""
     B = vertices_ndc.shape[0]

@@ -113,3 +113,43 @@ def test_conv_transpose2d_mapping():
     got = np.asarray(conv.apply(params, x.numpy().transpose(0, 2, 3, 1)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pirender_trainer_two_stages():
+    import jax.numpy as jnp
+    import optax
+
+    from avi_talking_tpu.models.pirender import FaceGenerator, PIRenderConfig
+    from avi_talking_tpu.train.perceptual import PerceptualLoss, Vgg19Features
+    from avi_talking_tpu.train.pirender_trainer import (
+        PIRenderTrainer,
+        make_pirender_optimizer,
+    )
+
+    cfg = PIRenderConfig.tiny()
+    gen = FaceGenerator(cfg)
+    rng = np.random.default_rng(3)
+    batch = {
+        "input_image": jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)),
+        "coeff_window": jnp.asarray(rng.standard_normal((1, 27, cfg.coeff_nc)).astype(np.float32)),
+        "target_image": jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)),
+    }
+    params = gen.init(jax.random.PRNGKey(0), batch["input_image"], batch["coeff_window"])
+    vgg = Vgg19Features(taps=("relu_1_1", "relu_2_1"))
+    vgg_params = vgg.init(jax.random.PRNGKey(1), batch["input_image"])["params"]
+    tx = make_pirender_optimizer(1e-4)
+    trainer = PIRenderTrainer(
+        generator=gen, tx=tx,
+        perceptual_warp=PerceptualLoss(vgg, layers=("relu_1_1", "relu_2_1"),
+                                       num_scales=1),
+        perceptual_final=PerceptualLoss(vgg, layers=("relu_1_1", "relu_2_1"),
+                                        num_scales=1, use_style_loss=True),
+        vgg_params=vgg_params,
+    )
+    step = trainer.jitted_train_step()
+    opt = tx.init(params)
+    p, opt, m_warp = step(params, opt, batch, True)
+    assert "perceptual_final" not in m_warp
+    p, opt, m_full = step(p, opt, batch, False)
+    assert {"perceptual_warp", "perceptual_final", "loss"} <= set(m_full)
+    assert np.isfinite(float(m_full["loss"]))

@@ -135,3 +135,50 @@ def test_train_flint_vae_driver():
                       nhead=4, intermediate_size=32, out_dim=9, n_exp=6)
     res = train_flint_vae(batches(), total_steps=10, flint_cfg=cfg, lr=1e-3)
     assert np.isfinite(res["metrics"]["recon"])
+
+
+def test_faceformer_trainer_full_stack():
+    import jax.numpy as jnp
+
+    from avi_talking_tpu.core import FlameModel, synthetic_assets
+    from avi_talking_tpu.models import FaceFormerCoeff, FaceFormerConfig
+    from avi_talking_tpu.train.faceformer_trainer import FaceFormerTrainer
+
+    cfg = FaceFormerConfig.tiny()  # vertice_dim 9 == [exp6, jaw3]
+    model = FaceFormerCoeff(cfg)
+    assets = synthetic_assets(n_shape=8, n_exp=6)
+    flame = FlameModel(assets, n_shape=8, n_exp=6)
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 8
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((B, T * 640)).astype(np.float32)),
+        "coeff": jnp.asarray(
+            rng.standard_normal((B, T, cfg.vertice_dim)).astype(np.float32) * 0.3
+        ),
+        "eye_embed": jnp.asarray(rng.standard_normal((B, T, 6)).astype(np.float32)),
+        "emo_embed": jnp.asarray(rng.standard_normal((B, T, 30)).astype(np.float32)),
+        "ref_coeff": jnp.asarray(
+            rng.standard_normal((B, 1, cfg.vertice_dim)).astype(np.float32)
+        ),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["coeff"],
+        batch["eye_embed"], batch["emo_embed"], batch["ref_coeff"],
+    )
+    tx = optax.adam(1e-3)
+    calls = []
+    trainer = FaceFormerTrainer(
+        model=model, tx=tx, flame=flame,
+        coeff_mean=jnp.zeros(9), coeff_std=jnp.ones(9),
+        render_loss_fn=lambda pred, b: (calls.append(1) or jnp.mean(pred**2)),
+    )
+    step = trainer.jitted_train_step()
+    opt = tx.init(params)
+    losses = []
+    for i in range(25):
+        params, opt, metrics = step(params, opt, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert {"coeff", "ldmk", "render", "loss"} <= set(metrics)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert all(np.isfinite(l) for l in losses)

@@ -150,3 +150,18 @@ def test_fixed_view_renderer():
     assert imgs.shape == (2, 3, 32, 32, 3)
     crop = r.crop_mouth(imgs)
     assert crop.shape[-3] == int(0.85 * 32) - int(0.45 * 32)
+
+
+def test_binned_rasterizer_matches_dense():
+    from avi_talking_tpu.viz.rasterizer import rasterize, rasterize_binned
+
+    rng = np.random.default_rng(9)
+    V, F = 60, 40
+    verts = jnp.asarray(rng.uniform(-0.9, 0.9, (V, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, V, (F, 3)), jnp.int32)
+    attrs = jnp.asarray(rng.standard_normal((V, 2)).astype(np.float32))
+    img_d, m_d = rasterize(verts, faces, attrs, 64, 64, chunk=8)
+    img_b, m_b = rasterize_binned(verts, faces, attrs, 64, 64, tile=16, cap=F)
+    np.testing.assert_array_equal(np.asarray(m_b), np.asarray(m_d))
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_d),
+                               rtol=1e-5, atol=1e-5)

@@ -115,3 +115,41 @@ def test_processor_normalization_matches_hf():
     ref = proc(frames.reshape(-1).astype(np.float32), sampling_rate=16000).input_values[0]
     got = normalize_audio(frames)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_valid_len_masks_padding():
+    """valid_len removes padded-tail attention leakage.
+
+    Mechanism test with a layer-norm conv extractor and no resampling (conv
+    is local + per-frame LN), where padded+masked must equal the unpadded
+    forward on valid frames. (The "group"-norm base extractor normalises
+    over the full time axis, so padded batching is inherently approximate
+    there — the same caveat HF documents for wav2vec2-base.)
+    """
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dc.replace(Wav2Vec2Config.tiny(), feat_extract_norm="layer",
+                     conv_bias=True)
+    model = Wav2Vec2Model(cfg, model_expected_fps=25, target_fps=25)
+    rng = np.random.default_rng(5)
+    n_valid = 2000
+    audio = rng.standard_normal((1, n_valid)).astype(np.float32)
+    padded = np.concatenate([audio, np.zeros((1, n_valid), np.float32)], axis=1)
+    params = model.init(jax.random.PRNGKey(0), padded, resample=False)
+
+    ref = model.apply(params, audio, resample=False)
+    T_valid = ref.shape[1]
+    got = model.apply(
+        params, padded, resample=False, valid_len=jnp.asarray([T_valid])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[:, :T_valid]), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+    # without valid_len the padded tail leaks into the valid region
+    unmasked = model.apply(params, padded, resample=False)
+    assert not np.allclose(
+        np.asarray(unmasked[:, :T_valid]), np.asarray(ref), atol=1e-3
+    )
