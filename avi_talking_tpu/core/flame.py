@@ -312,3 +312,35 @@ class FlameModel:
             )
             return vertices, landmarks2d, landmarks3d, lmk_mp
         return vertices, landmarks2d, landmarks3d
+
+
+@dataclasses.dataclass(frozen=True)
+class FlameTex:
+    """FLAME PCA albedo model (gdl/models/DecaFLAME.py FLAMETex):
+    texture = mean + basis @ texcode, reshaped to (512, 512, 3) in [0, 255].
+
+    Assets (texture mean/basis npz) are the external FLAME texture download;
+    ``n_tex`` selects the leading PCA components like the reference's
+    tex_params."""
+
+    texture_mean: jax.Array  # (512*512*3,)
+    texture_basis: jax.Array  # (512*512*3, n_components)
+    n_tex: int = 50
+
+    @classmethod
+    def from_npz(cls, path: str, n_tex: int = 50) -> "FlameTex":
+        import numpy as _np
+
+        z = _np.load(path)
+        mean = _np.asarray(z["mean"], _np.float32).reshape(-1)
+        basis = _np.asarray(z["tex_dir"] if "tex_dir" in z else z["basis"],
+                            _np.float32).reshape(mean.shape[0], -1)
+        return cls(jnp.asarray(mean), jnp.asarray(basis[:, :n_tex]), n_tex)
+
+    def __call__(self, texcode: jax.Array) -> jax.Array:
+        """(B, n_tex) -> (B, 512, 512, 3) albedo in [0, 1]."""
+        flat = self.texture_mean[None] + texcode @ self.texture_basis[:, : self.n_tex].T
+        B = texcode.shape[0]
+        side = int(round((flat.shape[1] // 3) ** 0.5))
+        tex = flat.reshape(B, side, side, 3)
+        return jnp.clip(tex / 255.0, 0.0, 1.0)

@@ -26,3 +26,5 @@ from .emoca import (
     split_deca_code,
 )
 from .flint_vae import FlintEncoder, FlintVAE
+from .decoders import DecoderConfig, FeedForwardDecoder
+from .sequence_encoders import sequence_encoder_from_name

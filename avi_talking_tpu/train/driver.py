@@ -54,6 +54,7 @@ class PriorTrainingConfig:
     heads: int = 8
     dim_head: int = 64
     timesteps: int = 100
+    brain_hidden: int = 4096
     max_lr: float = 1e-4
     total_steps: int = 1000
     batch_size: int = 256
@@ -79,7 +80,7 @@ def train_prior(
 
     rng = jax.random.PRNGKey(seed)
     brain = BrainNetwork(out_dim=cfg.clip_size, in_dim=cfg.in_dim,
-                         clip_size=cfg.clip_size)
+                         clip_size=cfg.clip_size, hidden=cfg.brain_hidden)
     net = PriorTransformerNetwork(dim=cfg.clip_size, depth=cfg.depth,
                                   heads=cfg.heads, dim_head=cfg.dim_head)
     params = {

@@ -96,3 +96,50 @@ def test_sequence_encoder_variants():
         out = enc.apply(params, x)
         assert out.shape == (2, 12, 16), name
         assert np.isfinite(np.asarray(out)).all(), name
+
+
+def test_feedforward_decoder_family():
+    import jax as _jax
+    from avi_talking_tpu.core import synthetic_assets
+    from avi_talking_tpu.models.decoders import DecoderConfig, FeedForwardDecoder
+
+    rng = np.random.default_rng(11)
+    hidden = jnp.asarray(rng.standard_normal((2, 10, 16)).astype(np.float32))
+    style = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+
+    for kind in ("linear", "mlp", "bert"):
+        cfg = DecoderConfig(kind=kind, feature_dim=16, vertices_dim=12, nhead=4)
+        dec = FeedForwardDecoder(cfg)
+        params = dec.init(_jax.random.PRNGKey(0), hidden, style)
+        out = dec.apply(params, hidden, style)
+        assert out["offsets"].shape == (2, 10, 12), kind
+        # zero-init head => zero offsets at init (reference init)
+        np.testing.assert_allclose(np.asarray(out["offsets"]), 0.0, atol=1e-6)
+
+    # legacy bug switch changes the bert output path once weights are nonzero
+    cfg = DecoderConfig(kind="bert", feature_dim=16, vertices_dim=12, nhead=4,
+                        temporal_bias_type="faceformer")
+    dec_fix = FeedForwardDecoder(cfg)
+    params = dec_fix.init(_jax.random.PRNGKey(1), hidden, style)
+    import jax as j2
+    leaves, treedef = j2.tree_util.tree_flatten(params)
+    params2 = j2.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(np.random.default_rng(3).standard_normal(l.shape),
+                              jnp.float32) * 0.1 for l in leaves]
+    )
+    out_fix = dec_fix.apply(params2, hidden, style)
+    cfg_bug = DecoderConfig(kind="bert", feature_dim=16, vertices_dim=12, nhead=4,
+                            temporal_bias_type="faceformer", post_bug_fix=False)
+    out_bug = FeedForwardDecoder(cfg_bug).apply(params2, hidden, style)
+    assert not np.allclose(np.asarray(out_fix["offsets"]),
+                           np.asarray(out_bug["offsets"]))
+
+    # flame_bert produces exp/jaw (+verts with assets)
+    assets = synthetic_assets(n_shape=8, n_exp=6)
+    cfg = DecoderConfig(kind="flame_bert", feature_dim=16, nhead=4, n_exp=6)
+    dec = FeedForwardDecoder(cfg, flame_assets=assets)
+    params = dec.init(_jax.random.PRNGKey(2), hidden, style)
+    out = dec.apply(params, hidden, style)
+    assert out["exp"].shape == (2, 10, 6)
+    assert out["jaw"].shape == (2, 10, 3)
+    assert out["vertices"].shape == (2, 10, 128, 3)

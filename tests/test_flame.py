@@ -162,3 +162,22 @@ def test_batch_orth_proj():
         np.asarray(out[0, :, 0]), 2.0 * (np.asarray(X)[0, :, 0] + 0.1), rtol=1e-6
     )
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(X)[1], rtol=1e-6)
+
+
+def test_flame_tex():
+    from avi_talking_tpu.core.flame import FlameTex
+
+    rng = np.random.default_rng(7)
+    side, n = 8, 4
+    mean = jnp.asarray(rng.uniform(0, 255, side * side * 3).astype(np.float32))
+    basis = jnp.asarray(rng.standard_normal((side * side * 3, n)).astype(np.float32))
+    tex_model = FlameTex(texture_mean=mean, texture_basis=basis, n_tex=n)
+    code = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    tex = tex_model(code)
+    assert tex.shape == (2, side, side, 3)
+    assert float(tex.min()) >= 0.0 and float(tex.max()) <= 1.0
+    # zero code -> mean texture
+    np.testing.assert_allclose(
+        np.asarray(tex_model(jnp.zeros((1, n)))).reshape(-1),
+        np.clip(np.asarray(mean) / 255.0, 0, 1), rtol=1e-5, atol=1e-6,
+    )

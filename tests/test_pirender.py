@@ -78,16 +78,16 @@ def test_face_generator_end_to_end_tiny():
     cfg = PIRenderConfig.tiny()
     gen = FaceGenerator(cfg)
     rng = np.random.default_rng(2)
-    img = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32))
     coeffs = jnp.asarray(rng.standard_normal((1, 27, cfg.coeff_nc)).astype(np.float32))
     params = gen.init(jax.random.PRNGKey(0), img, coeffs)
     out = jax.jit(lambda p, i, c: gen.apply(p, i, c))(params, img, coeffs)
-    assert out["fake_image"].shape == (1, 32, 32, 3)
-    assert out["warp_image"].shape == (1, 32, 32, 3)
+    assert out["fake_image"].shape == (1, 16, 16, 3)
+    assert out["warp_image"].shape == (1, 16, 16, 3)
     # flow is predicted at the hourglass output resolution (enc 3x / dec 2x
     # of 32 -> 16); the deformation is upsampled to image size for warping
-    assert out["flow_field"].shape == (1, 16, 16, 2)
-    assert out["deformation"].shape == (1, 32, 32, 2)
+    assert out["flow_field"].shape == (1, 8, 8, 2)
+    assert out["deformation"].shape == (1, 16, 16, 2)
     assert np.abs(np.asarray(out["fake_image"])).max() <= 1.0
     # warp-only stage skips the editing net
     out_warp = gen.apply(params, img, coeffs, stage="warp")
@@ -130,9 +130,9 @@ def test_pirender_trainer_two_stages():
     gen = FaceGenerator(cfg)
     rng = np.random.default_rng(3)
     batch = {
-        "input_image": jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)),
+        "input_image": jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)),
         "coeff_window": jnp.asarray(rng.standard_normal((1, 27, cfg.coeff_nc)).astype(np.float32)),
-        "target_image": jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)),
+        "target_image": jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)),
     }
     params = gen.init(jax.random.PRNGKey(0), batch["input_image"], batch["coeff_window"])
     vgg = Vgg19Features(taps=("relu_1_1", "relu_2_1"))

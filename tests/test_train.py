@@ -113,7 +113,8 @@ def test_train_prior_driver_synthetic():
 
     cfg = PriorTrainingConfig(
         clip_size=32, in_dim=48, depth=2, heads=4, dim_head=8, timesteps=10,
-        total_steps=30, batch_size=16, log_every=100, max_lr=1e-3,
+        brain_hidden=64, total_steps=30, batch_size=16, log_every=100,
+        max_lr=1e-3,
     )
     res = train_prior(cfg, batches=synthetic_batches(16, 30, 48, 32))
     assert int(res["state"].step) == 30
