@@ -72,14 +72,22 @@ def main():
     st = sample(pparams, jnp.zeros((1, 128), dtype), jax.random.PRNGKey(1))
     jax.block_until_ready(st)
 
-    # timed: style sample + animate, N repeats
+    # fused end-to-end: style sample + animate in ONE dispatch
+    @jax.jit
+    def fused(params, pparams, audio, rng):
+        st = prior.p_sample_loop(pparams, (1, 1, 128),
+                                 jnp.zeros((1, 128), dtype), rng)
+        return head.apply(params, audio,
+                          style_emb=st[:, 0, : cfg.feature_dim].astype(dtype))
+
+    out = fused(params, pparams, audio, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+
     n = 10
     t0 = time.perf_counter()
     for i in range(n):
-        st = sample(pparams, jnp.zeros((1, 128), dtype), jax.random.PRNGKey(i))
-        out = animate(params, audio, st[:, 0, : cfg.feature_dim].astype(dtype))
+        out = fused(params, pparams, audio, jax.random.PRNGKey(i))
     jax.block_until_ready(out)
-    jax.block_until_ready(st)
     elapsed = (time.perf_counter() - t0) / n
 
     rtf = elapsed / seconds

@@ -157,3 +157,25 @@ def test_emonet_loss():
     b = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
     loss2, _ = loss_fn(variables, a, b)
     assert float(loss2) > 0.0
+
+
+def test_video_emotion_classifier_and_loss():
+    from avi_talking_tpu.models.video_emotion import (
+        VideoEmotionClassifier,
+        VideoEmotionLoss,
+    )
+
+    clf = VideoEmotionClassifier(n_classes=8, feature_dim=32, num_layers=1,
+                                 nhead=4, input_dim=64)
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.standard_normal((2, 6, 64)).astype(np.float32))
+    variables = clf.init(jax.random.PRNGKey(0), feats)
+    logits = clf.apply(variables, feats)
+    assert logits.shape == (2, 8)
+
+    loss_fn = VideoEmotionLoss(clf, variables)
+    l1 = loss_fn(feats, gt_label=jnp.asarray([3, 5]))
+    l2 = loss_fn(feats, gt_logits=logits)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    # KL-style loss to its own logits is the self-entropy (finite, >=0)
+    assert float(l2) >= 0.0
