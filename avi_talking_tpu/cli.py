@@ -140,6 +140,26 @@ def cmd_train_prior(args) -> int:
     print("final:", res["metrics"])
     return 0
 
+def cmd_diversity(args) -> int:
+    """Style diversity (--is_cal_diversity equivalent): sample N style
+    embeddings for the same instruction, report mean pairwise L2."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .train.eval_metrics import style_diversity
+
+    pipe = _build_pipeline(args)
+    embs = []
+    for i in range(args.num_samples):
+        embs.append(np.asarray(
+            pipe.sample_style(args.text, jax.random.PRNGKey(args.seed + i))[0]
+        ))
+    score = float(style_diversity(jnp.asarray(np.stack(embs))))
+    print(f"diversity over {args.num_samples} samples: {score:.4f}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="avi-talking-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -176,6 +196,12 @@ def main(argv=None) -> int:
     s.add_argument("--std-out", default="coeff_std_Mead.npy")
     s.add_argument("--max-clips", type=int, default=200)
     s.set_defaults(fn=cmd_stats)
+
+    dv = sub.add_parser("diversity", help="style diversity score (N samples)")
+    dv.add_argument("--text", required=True)
+    dv.add_argument("--num-samples", type=int, default=10)
+    common(dv)
+    dv.set_defaults(fn=cmd_diversity)
 
     t = sub.add_parser("train-prior", help="diffusion prior training loop")
     t.add_argument("--steps", type=int, default=500)

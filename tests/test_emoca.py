@@ -179,3 +179,21 @@ def test_video_emotion_classifier_and_loss():
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     # KL-style loss to its own logits is the self-entropy (finite, >=0)
     assert float(l2) >= 0.0
+
+
+def test_lipread_net_and_loss():
+    from avi_talking_tpu.models.lipread import LipReadingLoss, LipReadingNet
+
+    net = LipReadingNet(feature_dim=32, width=8)
+    rng = np.random.default_rng(6)
+    crops = jnp.asarray(rng.uniform(0, 1, (1, 4, 48, 48, 1)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), crops)
+    feats = net.apply(variables, crops)
+    assert feats.shape == (1, 4, 32)
+
+    loss_fn = LipReadingLoss(net, variables)
+    assert float(loss_fn(crops, crops)) < 1e-5
+    other = jnp.asarray(rng.uniform(0, 1, (1, 4, 48, 48, 1)).astype(np.float32))
+    assert float(loss_fn(crops, other)) > 0.0
+    loss_l2 = LipReadingLoss(net, variables, metric="l2")
+    assert float(loss_l2(crops, crops)) == 0.0
