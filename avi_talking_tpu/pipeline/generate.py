@@ -9,8 +9,10 @@ voxel2style_emb :783 + run_evalutation):
     wav --frame--> wav2vec2 --> EMOTE decoder (+style) --> FLINT -->
     exp (T,50) + jaw (T,3) --> FLAME --> vertices (T, 5023, 3)
 
-Device work is two jitted functions (style sampling; audio->face), each a
-single dispatch. Host work: wav decode/framing and tokenization.
+Device work for a single request is ONE jitted dispatch (the whole chain
+above fused; measured RTF 0.00125 on a v5e). Batched serving
+(``generate_batch``) uses one style-sampling dispatch plus one animate
+dispatch per length bucket. Host work: wav decode/framing and tokenization.
 
 Weights: the reference's pretrained checkpoints are external downloads; the
 pipeline runs with imported checkpoints when provided (infra.checkpoint) and
@@ -78,10 +80,15 @@ class _HashTokenizer:
         self.max_length = max_length
 
     def __call__(self, texts):
+        import zlib
+
         out = np.zeros((len(texts), self.max_length), dtype=np.int32)
         for i, t in enumerate(texts):
+            # crc32, not hash(): Python salts hash() per process, which would
+            # break cross-run reproducibility of generated styles
             ids = [1] + [
-                2 + (hash(w) % (self.vocab_size - 3)) for w in t.lower().split()
+                2 + (zlib.crc32(w.encode()) % (self.vocab_size - 3))
+                for w in t.lower().split()
             ]
             ids = ids[: self.max_length - 1] + [self.vocab_size - 1]
             out[i, : len(ids)] = ids

@@ -53,8 +53,6 @@ def main():
     style = jnp.zeros((1, cfg.feature_dim), dtype)
     params = head.init(rng, audio[:, : cfg.flint.latent_frame_size], style_emb=style)
 
-    animate = jax.jit(lambda p, a, s: head.apply(p, a, style_emb=s))
-
     # prior: dim 128, depth 6, heads 8, 100 DDPM steps in one scan
     net = PriorTransformerNetwork(dim=128, depth=6, heads=8, dim_head=64, dtype=dtype)
     pparams = net.init(
@@ -62,15 +60,6 @@ def main():
         jnp.zeros((1, 128), dtype),
     )
     prior = DiffusionPrior(net=net, scheduler=NoiseScheduler.create(100))
-    sample = jax.jit(
-        lambda p, t, r: prior.p_sample_loop(p, (1, 1, 128), t, r)
-    )
-
-    # compile
-    out = animate(params, audio, style)
-    jax.block_until_ready(out)
-    st = sample(pparams, jnp.zeros((1, 128), dtype), jax.random.PRNGKey(1))
-    jax.block_until_ready(st)
 
     # fused end-to-end: style sample + animate in ONE dispatch
     @jax.jit
