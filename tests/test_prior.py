@@ -129,3 +129,23 @@ def test_brain_network_shapes():
     params2 = bn2.init(jax.random.PRNGKey(0), jnp.zeros((2, 24)))
     x2, proj2 = bn2.apply(params2, jnp.ones((3, 24)))
     assert x2.shape == (3, 16) and proj2 is None
+
+
+def test_ddim_sample_loop():
+    net, params = _prior_setup()
+    prior = DiffusionPrior(net=net, scheduler=NoiseScheduler.create(100))
+    txt = jax.random.normal(jax.random.PRNGKey(9), (2, 32))
+
+    sample = jax.jit(
+        lambda p, t, r: prior.ddim_sample_loop(p, (2, 1, 32), t, r, steps=10)
+    )
+    a = sample(params, txt, jax.random.PRNGKey(0))
+    b = sample(params, txt, jax.random.PRNGKey(0))
+    c = sample(params, txt, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    assert np.isfinite(np.asarray(a)).all()
+    # same output scale regime as the ancestral sampler
+    full = prior.p_sample_loop(params, (2, 1, 32), txt, jax.random.PRNGKey(2))
+    ratio = float(jnp.abs(a).mean() / jnp.abs(full).mean())
+    assert 0.2 < ratio < 5.0
