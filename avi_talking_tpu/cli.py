@@ -140,6 +140,19 @@ def cmd_train_prior(args) -> int:
     print("final:", res["metrics"])
     return 0
 
+def cmd_convert_flame(args) -> int:
+    import os as _os
+
+    from .core.assets import convert_flame_pickle
+
+    _os.makedirs(_os.path.dirname(_os.path.abspath(args.out)), exist_ok=True)
+    out = convert_flame_pickle(
+        args.pkl, args.out, args.lmk_embedding, args.mediapipe_lmk_embedding
+    )
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_diversity(args) -> int:
     """Style diversity (--is_cal_diversity equivalent): sample N style
     embeddings for the same instruction, report mean pairwise L2."""
@@ -196,6 +209,13 @@ def main(argv=None) -> int:
     s.add_argument("--std-out", default="coeff_std_Mead.npy")
     s.add_argument("--max-clips", type=int, default=200)
     s.set_defaults(fn=cmd_stats)
+
+    cf = sub.add_parser("convert-flame", help="FLAME generic_model.pkl -> npz")
+    cf.add_argument("--pkl", required=True)
+    cf.add_argument("--out", default="assets/flame.npz")
+    cf.add_argument("--lmk-embedding", default=None)
+    cf.add_argument("--mediapipe-lmk-embedding", default=None)
+    cf.set_defaults(fn=cmd_convert_flame)
 
     dv = sub.add_parser("diversity", help="style diversity score (N samples)")
     dv.add_argument("--text", required=True)
