@@ -140,6 +140,91 @@ def cmd_train_prior(args) -> int:
     print("final:", res["metrics"])
     return 0
 
+def cmd_train_faceformer(args) -> int:
+    """Stage-1 FaceFormer training loop (synthetic batches without a data
+    root; MEAD/EMOCA root via --root)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from .core import FlameModel, synthetic_assets
+    from .core.assets import default_assets_path, load_flame_assets
+    from .models import FaceFormerCoeff, FaceFormerConfig
+    from .train.faceformer_trainer import FaceFormerTrainer
+
+    if args.tiny:
+        cfg = FaceFormerConfig.tiny()
+        assets = synthetic_assets(n_shape=8, n_exp=6)
+        flame = FlameModel(assets, n_shape=8, n_exp=6)
+    else:
+        cfg = FaceFormerConfig()
+        npz = args.flame_npz or default_assets_path()
+        flame = None
+        if npz:
+            assets = load_flame_assets(npz, 100, 50)
+            flame = FlameModel(assets, n_shape=100, n_exp=50)
+    model = FaceFormerCoeff(cfg)
+
+    rng = np.random.default_rng(args.seed)
+    B, T = args.batch_size, args.seq_length
+
+    def batch():
+        out = {
+            "audio": jnp.asarray(rng.standard_normal((B, T * 640)).astype(np.float32)),
+            "coeff": jnp.asarray(rng.standard_normal((B, T, cfg.vertice_dim)).astype(np.float32) * 0.3),
+        }
+        if cfg.with_condition_merge:
+            out["eye_embed"] = jnp.asarray(rng.standard_normal((B, T, cfg.eye_dim)).astype(np.float32))
+            out["emo_embed"] = jnp.asarray(rng.standard_normal((B, T, cfg.emo_dim)).astype(np.float32))
+            out["ref_coeff"] = jnp.asarray(rng.standard_normal((B, 1, cfg.vertice_dim)).astype(np.float32))
+        return out
+
+    if args.root:
+        from .data import MeadEmocaDataset, batch_iterator
+
+        ds = MeadEmocaDataset(root=args.root, seq_length=T)
+        batches = batch_iterator(ds, batch_size=B, epochs=None)
+
+        def batch():  # noqa: F811 - data-backed override
+            b = next(batches)
+            return {
+                "audio": jnp.asarray(b["audio"]),
+                "coeff": jnp.asarray(b["coeff"][..., : cfg.vertice_dim]),
+            }
+
+    first = batch()
+    params = model.init(
+        jax.random.PRNGKey(0), first["audio"], first["coeff"],
+        first.get("eye_embed"), first.get("emo_embed"), first.get("ref_coeff"),
+    )
+    tx = optax.adamw(args.lr)
+    # synthetic tiny FLAME lacks the 68-point landmark embedding the lip/eye
+    # losses index; geometric landmark losses need the real assets
+    use_ldmk = flame is not None and not args.tiny
+    trainer = FaceFormerTrainer(model=model, tx=tx,
+                                flame=flame if use_ldmk else None,
+                                coeff_mean=jnp.zeros(cfg.vertice_dim),
+                                coeff_std=jnp.ones(cfg.vertice_dim))
+    step = trainer.jitted_train_step()
+    opt = tx.init(params)
+    import time as _t
+
+    t0 = _t.time()
+    for i in range(args.steps):
+        params, opt, metrics = step(params, opt, batch(), jax.random.PRNGKey(i))
+        if (i + 1) % 50 == 0:
+            print(f"step {i+1}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in metrics.items()
+            ) + f" ({(i+1)/(_t.time()-t0):.1f} it/s)")
+    if args.ckpt_dir:
+        from .infra.checkpoint import save_checkpoint
+
+        save_checkpoint(args.ckpt_dir, {"params": params})
+    print("final:", {k: float(v) for k, v in metrics.items()})
+    return 0
+
+
 def cmd_convert_flame(args) -> int:
     import os as _os
 
@@ -222,6 +307,16 @@ def main(argv=None) -> int:
     dv.add_argument("--num-samples", type=int, default=10)
     common(dv)
     dv.set_defaults(fn=cmd_diversity)
+
+    tf = sub.add_parser("train-faceformer", help="stage-1 FaceFormer training")
+    tf.add_argument("--steps", type=int, default=200)
+    tf.add_argument("--batch-size", type=int, default=16)
+    tf.add_argument("--seq-length", type=int, default=25)
+    tf.add_argument("--lr", type=float, default=1e-4)
+    tf.add_argument("--root", default=None, help="MEAD/EMOCA data root")
+    tf.add_argument("--ckpt-dir", default=None)
+    common(tf)
+    tf.set_defaults(fn=cmd_train_faceformer)
 
     t = sub.add_parser("train-prior", help="diffusion prior training loop")
     t.add_argument("--steps", type=int, default=500)

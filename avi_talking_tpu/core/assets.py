@@ -114,6 +114,7 @@ def synthetic_assets(
     num_faces: int = 64,
     seed: int = 0,
     with_landmarks: bool = True,
+    n_static_landmarks: int = 16,  # 51 + the 17 dynamic = 68-point layout
 ) -> FlameAssets:
     """Small random-but-structurally-valid FLAME-like model for tests."""
     import jax.numpy as jnp
@@ -131,7 +132,7 @@ def synthetic_assets(
 
     kw = {}
     if with_landmarks:
-        L = 16
+        L = n_static_landmarks
         kw = dict(
             lmk_faces_idx=jnp.asarray(rng.integers(0, num_faces, (L,)).astype(np.int32)),
             lmk_bary_coords=jnp.asarray(_random_bary(rng, (L,))),

@@ -85,6 +85,12 @@ class FaceFormerTrainer:
             lmk_gt = jax.lax.stop_gradient(
                 self._landmarks(gt.reshape(B * T, -1)[:, :d])
             )
+            # the lip/eye losses index the 68-point iBUG layout; smaller
+            # (synthetic) landmark sets would silently clamp the gathers
+            assert lmk_pred.shape[1] >= 68, (
+                f"landmark losses need the 68-point FLAME embedding, got "
+                f"{lmk_pred.shape[1]} landmarks"
+            )
             l_lip = lipd_loss(lmk_pred, lmk_gt) + mouth_corner_loss(lmk_pred, lmk_gt)
             l_ldmk = self.lipd_weight * l_lip
             if self.eyed_weight:

@@ -147,7 +147,9 @@ def test_faceformer_trainer_full_stack():
 
     cfg = FaceFormerConfig.tiny()  # vertice_dim 9 == [exp6, jaw3]
     model = FaceFormerCoeff(cfg)
-    assets = synthetic_assets(n_shape=8, n_exp=6)
+    # 51 static + 17 dynamic landmarks = the 68-point layout the lip/eye
+    # losses index
+    assets = synthetic_assets(n_shape=8, n_exp=6, n_static_landmarks=51)
     flame = FlameModel(assets, n_shape=8, n_exp=6)
 
     rng = np.random.default_rng(0)
