@@ -188,6 +188,25 @@ class AviTalkingPipeline:
             tokenizer=_load_tokenizer(cfg.clip.vocab_size, cfg.max_tokens),
         )
 
+    def load_prior_checkpoint(self, path: str) -> None:
+        """Graft a `cli train-prior` orbax checkpoint ({"params": {brain,
+        prior}, "step"}) into this pipeline's params (train -> serve)."""
+        from ..infra.checkpoint import restore_checkpoint
+
+        target = {
+            "params": {
+                "brain": self.params["brain"],
+                "prior": self.params["prior"],
+            },
+            "step": jnp.zeros((), jnp.int32),
+        }
+        restored = restore_checkpoint(path, target=target)
+        self.params = {
+            **self.params,
+            "brain": restored["params"]["brain"],
+            "prior": restored["params"]["prior"],
+        }
+
     # ------------------------------------------------------------------
 
     @functools.cached_property

@@ -26,7 +26,15 @@ def one_cycle_schedule(
     max_lr: float, total_steps: int, pct_start: float = 0.3,
     div_factor: float = 25.0, final_div_factor: float = 1e4,
 ) -> optax.Schedule:
-    """torch OneCycleLR (cos anneal) equivalent."""
+    """torch OneCycleLR (cos anneal) equivalent.
+
+    optax's schedule divides by the warmup/decay interval lengths, which are
+    ZERO (=> NaN learning rate for every step) when pct_start*total_steps<1;
+    clamp so both phases span at least one step, and fall back to a constant
+    schedule for degenerate totals."""
+    if total_steps < 2:
+        return optax.constant_schedule(max_lr)
+    pct_start = min(max(pct_start, 1.0 / total_steps), (total_steps - 1.0) / total_steps)
     return optax.cosine_onecycle_schedule(
         transition_steps=total_steps, peak_value=max_lr,
         pct_start=pct_start, div_factor=div_factor,

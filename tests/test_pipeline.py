@@ -98,3 +98,34 @@ def test_generate_batch(pipe):
     for o in outs:
         for v in o.values():
             assert np.isfinite(np.asarray(v)).all()
+
+
+def test_train_then_serve_roundtrip(tmp_path):
+    """cli train-prior checkpoint -> pipeline.load_prior_checkpoint."""
+    from avi_talking_tpu.train.driver import (
+        PriorTrainingConfig,
+        synthetic_batches,
+        train_prior,
+    )
+
+    pcfg = PipelineConfig.tiny()
+    cfg = PriorTrainingConfig(
+        clip_size=pcfg.clip_size, in_dim=pcfg.clip.hidden_size,
+        depth=pcfg.prior_depth, heads=pcfg.prior_heads,
+        dim_head=pcfg.prior_dim_head, timesteps=pcfg.timesteps,
+        brain_hidden=4096,  # pipeline BrainNetwork default width
+        total_steps=3, batch_size=4, log_every=100,
+    )
+    ck = str(tmp_path / "prior_ck")
+    train_prior(cfg, batches=synthetic_batches(4, 3, cfg.in_dim, cfg.clip_size),
+                ckpt_dir=ck)
+
+    pipe = AviTalkingPipeline.random_init(
+        pcfg, flame_assets=synthetic_assets(n_shape=8, n_exp=6)
+    )
+    wav = np.zeros(8000, np.float32)
+    before = pipe.generate(wav, "happy", seed=0)["style_emb"]
+    pipe.load_prior_checkpoint(ck)
+    after = pipe.generate(wav, "happy", seed=0)["style_emb"]
+    assert not np.allclose(before, after)  # trained weights took effect
+    assert np.isfinite(after).all()

@@ -185,3 +185,13 @@ def test_faceformer_trainer_full_stack():
     assert {"coeff", "ldmk", "render", "loss"} <= set(metrics)
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_one_cycle_schedule_small_totals_finite():
+    from avi_talking_tpu.train.prior import one_cycle_schedule
+
+    for total in (1, 2, 3, 10):
+        s = one_cycle_schedule(1e-4, total)
+        vals = [float(s(i)) for i in range(total + 2)]
+        assert all(np.isfinite(v) for v in vals), (total, vals)
+        assert max(vals) <= 1e-4 * 1.01
