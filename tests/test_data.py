@@ -164,3 +164,23 @@ def test_mead_captions_lookup(mead_root, tmp_path):
     texts = {ds[i]["name"]: ds[i].get("text") for i in range(len(ds))}
     assert texts["M003_front_neutral_level1_001"] == "a calm neutral face"
     assert texts["M003_front_happy_level3_002"] == "a very happy face"
+
+
+def test_loopback_frames_matches_reference_formula():
+    import torch
+
+    from avi_talking_tpu.data.loop_utils import calc_loop_idx, loopback_frames
+
+    # reference torch formula re-evaluated per index
+    def ref_idx(idx, loop_num):
+        flag = -1 * ((idx // loop_num % 2) * 2 - 1)
+        new_idx = -flag * (flag - 1) // 2 + flag * (idx % loop_num)
+        return (new_idx + loop_num) % loop_num
+
+    for loop_num in (1, 3, 5):
+        for i in range(17):
+            assert int(calc_loop_idx(i, loop_num)) == ref_idx(i, loop_num)
+
+    frames = np.arange(4)[:, None]
+    out = loopback_frames(frames, 10)
+    assert out[:, 0].tolist() == [0, 1, 2, 3, 3, 2, 1, 0, 0, 1]

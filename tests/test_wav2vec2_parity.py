@@ -153,3 +153,16 @@ def test_valid_len_masks_padding():
     assert not np.allclose(
         np.asarray(unmasked[:, :T_valid]), np.asarray(ref), atol=1e-3
     )
+
+
+def test_wav2vec2_ser_head():
+    import jax
+
+    from avi_talking_tpu.audio.ser import Wav2Vec2SER
+
+    cfg = Wav2Vec2Config.tiny()
+    ser = Wav2Vec2SER(cfg, num_labels=8, classifier_proj_size=16)
+    audio = np.random.default_rng(0).standard_normal((2, 3200)).astype(np.float32)
+    params = ser.init(jax.random.PRNGKey(0), audio, output_len=5)
+    logits = ser.apply(params, audio, output_len=5)
+    assert logits.shape == (2, 8)
