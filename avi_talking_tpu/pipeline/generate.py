@@ -188,6 +188,18 @@ class AviTalkingPipeline:
             tokenizer=_load_tokenizer(cfg.clip.vocab_size, cfg.max_tokens),
         )
 
+    def save(self, path: str) -> None:
+        """Persist ALL pipeline params (clip/brain/prior/head) with orbax."""
+        from ..infra.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.params)
+
+    def load(self, path: str) -> None:
+        """Restore params saved by ``save`` (same configs required)."""
+        from ..infra.checkpoint import restore_checkpoint
+
+        self.params = restore_checkpoint(path, target=self.params)
+
     def load_prior_checkpoint(self, path: str) -> None:
         """Graft a `cli train-prior` orbax checkpoint ({"params": {brain,
         prior}, "step"}) into this pipeline's params (train -> serve)."""

@@ -129,3 +129,20 @@ def test_train_then_serve_roundtrip(tmp_path):
     after = pipe.generate(wav, "happy", seed=0)["style_emb"]
     assert not np.allclose(before, after)  # trained weights took effect
     assert np.isfinite(after).all()
+
+
+def test_pipeline_save_load(tmp_path, pipe):
+    path = str(tmp_path / "pipe_ck")
+    pipe.save(path)
+    fresh = AviTalkingPipeline.random_init(
+        PipelineConfig.tiny(), seed=123,
+        flame_assets=synthetic_assets(n_shape=8, n_exp=6),
+    )
+    wav = np.zeros(8000, np.float32)
+    a = pipe.generate(wav, "calm", seed=0)
+    b_before = fresh.generate(wav, "calm", seed=0)
+    assert not np.allclose(a["style_emb"], b_before["style_emb"])
+    fresh.load(path)
+    b_after = fresh.generate(wav, "calm", seed=0)
+    np.testing.assert_allclose(a["style_emb"], b_after["style_emb"], rtol=1e-5)
+    np.testing.assert_allclose(a["exp"], b_after["exp"], rtol=1e-4, atol=1e-6)
