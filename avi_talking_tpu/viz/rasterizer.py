@@ -291,3 +291,62 @@ def rasterize_binned_batch(vertices, faces, attributes, height, width,
     return jax.vmap(
         lambda v, a: rasterize_binned(v, faces, a, height, width, tile, cap)
     )(vertices, attributes)
+
+
+def rasterize_binned_pallas(
+    vertices: jax.Array,
+    faces: jax.Array,
+    attributes: jax.Array,
+    height: int,
+    width: int,
+    tile: int = 32,
+    cap: int = 1024,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Binned rasterizer with the stage-2 tile loop as a Pallas kernel
+    (ops/pallas/rasterize.py); same semantics as ``rasterize_binned``."""
+    from ..ops.pallas.rasterize import rasterize_tiles_pallas
+
+    assert height % tile == 0 and width % tile == 0
+    F = faces.shape[0]
+    C = attributes.shape[-1]
+    dtype = vertices.dtype
+    ty, tx = height // tile, width // tile
+    n_tiles = ty * tx
+
+    tri = vertices[faces]
+    fx_min = tri[..., 0].min(axis=1)
+    fx_max = tri[..., 0].max(axis=1)
+    fy_min = tri[..., 1].min(axis=1)
+    fy_max = tri[..., 1].max(axis=1)
+    tile_w = 2.0 / tx
+    tile_h = 2.0 / ty
+    tx0 = -1.0 + jnp.arange(tx, dtype=dtype) * tile_w
+    ty1 = 1.0 - jnp.arange(ty, dtype=dtype) * tile_h
+    ox = (fx_min[None, :] <= (tx0 + tile_w)[:, None]) & (fx_max[None, :] >= tx0[:, None])
+    oy = (fy_max[None, :] >= (ty1 - tile_h)[:, None]) & (fy_min[None, :] <= ty1[:, None])
+    overlap = (oy[:, None, :] & ox[None, :, :]).reshape(n_tiles, F)
+    ids = jax.vmap(lambda row: jnp.where(row, size=cap, fill_value=F)[0])(overlap)
+
+    tri_p = jnp.concatenate([tri, jnp.zeros((1, 3, 3), dtype)], axis=0)
+    attr_tri = jnp.concatenate(
+        [attributes[faces], jnp.zeros((1, 3, C), attributes.dtype)], axis=0
+    )
+    tri_t = tri_p[ids].reshape(n_tiles, cap, 9)
+    attr_t = attr_tri[ids].reshape(n_tiles, cap, 3 * C)
+    valid_t = (ids < F).astype(jnp.float32)[..., None]
+    pxg, pyg = _pixel_grid(height, width, dtype)
+    pxg = pxg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
+    pyg = pyg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
+
+    img_t, mask_t = rasterize_tiles_pallas(
+        tri_t, attr_t, valid_t, pxg, pyg, chunk=chunk, interpret=interpret
+    )
+    img = (
+        img_t.reshape(ty, tx, tile, tile, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(height, width, C)
+    )
+    m = mask_t.reshape(ty, tx, tile, tile).transpose(0, 2, 1, 3).reshape(height, width)
+    return img, m

@@ -66,3 +66,27 @@ def test_mha_module_fused_path_interpret(monkeypatch):
     mha_f = MultiHeadAttention(32, 4, use_fused_kernel=True)
     got = mha_f.apply(params, x, x, x, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_rasterizer_matches_binned(monkeypatch):
+    """Interpret-mode equality of the Pallas tile kernel vs rasterize_binned."""
+    import jax.numpy as jnp
+
+    from avi_talking_tpu.viz.rasterizer import (
+        rasterize_binned,
+        rasterize_binned_pallas,
+    )
+
+    rng = np.random.default_rng(4)
+    V, F = 60, 40
+    verts = jnp.asarray(rng.uniform(-0.9, 0.9, (V, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, V, (F, 3)), jnp.int32)
+    attrs = jnp.asarray(rng.standard_normal((V, 3)).astype(np.float32))
+    ref_img, ref_mask = rasterize_binned(verts, faces, attrs, 32, 32,
+                                         tile=16, cap=F)
+    img, mask = rasterize_binned_pallas(verts, faces, attrs, 32, 32,
+                                        tile=16, cap=64, chunk=32,
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               rtol=1e-4, atol=1e-5)
