@@ -177,6 +177,46 @@ def render_normal_maps(
     return jnp.where(mask[..., None], shaded, background)
 
 
+
+def _bin_faces(vertices, faces, height, width, tile, cap):
+    """Stage 1 of the tiled rasterizers: bbox face->tile binning.
+
+    Returns (face_ids (n_tiles, cap) with F as the invalid sentinel,
+    tri_p (F+1, 3, 3) padded corner table, per-tile pixel grids pxg/pyg
+    (n_tiles, tile*tile), and (ty, tx))."""
+    assert height % tile == 0 and width % tile == 0
+    F = faces.shape[0]
+    dtype = vertices.dtype
+    ty, tx = height // tile, width // tile
+    n_tiles = ty * tx
+
+    tri = vertices[faces]  # (F, 3, 3)
+    fx_min = tri[..., 0].min(axis=1)
+    fx_max = tri[..., 0].max(axis=1)
+    fy_min = tri[..., 1].min(axis=1)
+    fy_max = tri[..., 1].max(axis=1)
+
+    # tile rects in NDC (x: [-1,1] left->right; y: [1,-1] top->bottom rows)
+    tile_w = 2.0 / tx
+    tile_h = 2.0 / ty
+    tx0 = -1.0 + jnp.arange(tx, dtype=dtype) * tile_w
+    ty1 = 1.0 - jnp.arange(ty, dtype=dtype) * tile_h
+    ox = (fx_min[None, :] <= (tx0 + tile_w)[:, None]) & (fx_max[None, :] >= tx0[:, None])
+    oy = (fy_max[None, :] >= (ty1 - tile_h)[:, None]) & (fy_min[None, :] <= ty1[:, None])
+    overlap = (oy[:, None, :] & ox[None, :, :]).reshape(n_tiles, F)
+
+    face_ids = jax.vmap(
+        lambda row: jnp.where(row, size=cap, fill_value=F)[0]
+    )(overlap)
+
+    tri_p = jnp.concatenate([tri, jnp.zeros((1, 3, 3), dtype)], axis=0)
+
+    pxg, pyg = _pixel_grid(height, width, dtype)
+    pxg = pxg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
+    pyg = pyg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
+    return face_ids, tri_p, pxg, pyg, (ty, tx)
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def rasterize_binned(
     vertices: jax.Array,  # (V, 3) NDC, z = depth
@@ -197,47 +237,14 @@ def rasterize_binned(
     docstring bench note). Faces beyond ``cap`` in a tile are dropped —
     choose cap for the mesh density (1024 is safe for FLAME at <=512^2).
     """
-    assert height % tile == 0 and width % tile == 0
-    V = vertices.shape[0]
     F = faces.shape[0]
     C = attributes.shape[-1]
-    dtype = vertices.dtype
-    ty, tx = height // tile, width // tile
-    n_tiles = ty * tx
-
-    # --- stage 1: face -> tile binning by bbox ---------------------------
-    tri = vertices[faces]  # (F, 3, 3)
-    fx_min = tri[..., 0].min(axis=1)
-    fx_max = tri[..., 0].max(axis=1)
-    fy_min = tri[..., 1].min(axis=1)
-    fy_max = tri[..., 1].max(axis=1)
-
-    # tile rects in NDC (x: [-1,1] left->right; y: [1,-1] top->bottom rows)
-    tile_w = 2.0 / tx
-    tile_h = 2.0 / ty
-    tix = jnp.arange(tx, dtype=dtype)
-    tiy = jnp.arange(ty, dtype=dtype)
-    tx0 = -1.0 + tix * tile_w  # (tx,)
-    ty1 = 1.0 - tiy * tile_h  # top edge (ty,)
-    # overlap tests per axis
-    ox = (fx_min[None, :] <= (tx0 + tile_w)[:, None]) & (fx_max[None, :] >= tx0[:, None])
-    oy = (fy_max[None, :] >= (ty1 - tile_h)[:, None]) & (fy_min[None, :] <= ty1[:, None])
-    overlap = (oy[:, None, :] & ox[None, :, :]).reshape(n_tiles, F)
-
-    def compact(row):
-        return jnp.where(row, size=cap, fill_value=F)[0]
-
-    face_ids = jax.vmap(compact)(overlap)  # (n_tiles, cap), F = invalid
-
-    # pad face/attr tables with one degenerate entry at index F
-    faces_p = jnp.concatenate([faces, jnp.zeros((1, 3), faces.dtype)], axis=0)
-    tri_p = jnp.concatenate([tri, jnp.zeros((1, 3, 3), dtype)], axis=0)
-    attr_tri = attributes[faces_p]  # (F+1, 3, C)
-
-    # per-tile pixel grids
-    pxg, pyg = _pixel_grid(height, width, dtype)
-    pxg = pxg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
-    pyg = pyg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
+    face_ids, tri_p, pxg, pyg, (ty, tx) = _bin_faces(
+        vertices, faces, height, width, tile, cap
+    )
+    attr_tri = jnp.concatenate(
+        [attributes[faces], jnp.zeros((1, 3, C), attributes.dtype)], axis=0
+    )
 
     def one_tile(args):
         ids, px, py = args  # (cap,), (tp,), (tp,)
@@ -308,37 +315,18 @@ def rasterize_binned_pallas(
     (ops/pallas/rasterize.py); same semantics as ``rasterize_binned``."""
     from ..ops.pallas.rasterize import rasterize_tiles_pallas
 
-    assert height % tile == 0 and width % tile == 0
     F = faces.shape[0]
     C = attributes.shape[-1]
-    dtype = vertices.dtype
-    ty, tx = height // tile, width // tile
+    face_ids, tri_p, pxg, pyg, (ty, tx) = _bin_faces(
+        vertices, faces, height, width, tile, cap
+    )
     n_tiles = ty * tx
-
-    tri = vertices[faces]
-    fx_min = tri[..., 0].min(axis=1)
-    fx_max = tri[..., 0].max(axis=1)
-    fy_min = tri[..., 1].min(axis=1)
-    fy_max = tri[..., 1].max(axis=1)
-    tile_w = 2.0 / tx
-    tile_h = 2.0 / ty
-    tx0 = -1.0 + jnp.arange(tx, dtype=dtype) * tile_w
-    ty1 = 1.0 - jnp.arange(ty, dtype=dtype) * tile_h
-    ox = (fx_min[None, :] <= (tx0 + tile_w)[:, None]) & (fx_max[None, :] >= tx0[:, None])
-    oy = (fy_max[None, :] >= (ty1 - tile_h)[:, None]) & (fy_min[None, :] <= ty1[:, None])
-    overlap = (oy[:, None, :] & ox[None, :, :]).reshape(n_tiles, F)
-    ids = jax.vmap(lambda row: jnp.where(row, size=cap, fill_value=F)[0])(overlap)
-
-    tri_p = jnp.concatenate([tri, jnp.zeros((1, 3, 3), dtype)], axis=0)
     attr_tri = jnp.concatenate(
         [attributes[faces], jnp.zeros((1, 3, C), attributes.dtype)], axis=0
     )
-    tri_t = tri_p[ids].reshape(n_tiles, cap, 9)
-    attr_t = attr_tri[ids].reshape(n_tiles, cap, 3 * C)
-    valid_t = (ids < F).astype(jnp.float32)[..., None]
-    pxg, pyg = _pixel_grid(height, width, dtype)
-    pxg = pxg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
-    pyg = pyg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
+    tri_t = tri_p[face_ids].reshape(n_tiles, cap, 9)
+    attr_t = attr_tri[face_ids].reshape(n_tiles, cap, 3 * C)
+    valid_t = (face_ids < F).astype(jnp.float32)[..., None]
 
     img_t, mask_t = rasterize_tiles_pallas(
         tri_t, attr_t, valid_t, pxg, pyg, chunk=chunk, interpret=interpret
