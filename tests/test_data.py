@@ -184,3 +184,38 @@ def test_loopback_frames_matches_reference_formula():
     frames = np.arange(4)[:, None]
     out = loopback_frames(frames, 10)
     assert out[:, 0].tolist() == [0, 1, 2, 3, 3, 2, 1, 0, 0, 1]
+
+
+def test_mead_to_faceformer_training_integration(mead_root):
+    """Data layer -> batch iterator -> jitted stage-1 train step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from avi_talking_tpu.models import FaceFormerCoeff, FaceFormerConfig
+    from avi_talking_tpu.train.faceformer_trainer import FaceFormerTrainer
+
+    ds = MeadEmocaDataset(root=mead_root, seq_length=8)
+    cfg = FaceFormerConfig(
+        vertice_dim=59, feature_dim=32, period=5, max_seq_len=64,
+        with_condition_merge=False,
+        wav2vec2=__import__(
+            "avi_talking_tpu.audio", fromlist=["Wav2Vec2Config"]
+        ).Wav2Vec2Config.tiny(),
+    )
+    model = FaceFormerCoeff(cfg)
+    it = batch_iterator(ds, batch_size=2, epochs=None, seed=0)
+
+    def to_device(b):
+        return {"audio": jnp.asarray(b["audio"]), "coeff": jnp.asarray(b["coeff"])}
+
+    first = to_device(next(it))
+    params = model.init(jax.random.PRNGKey(0), first["audio"], first["coeff"])
+    tx = optax.adam(1e-3)
+    trainer = FaceFormerTrainer(model=model, tx=tx)
+    step = trainer.jitted_train_step()
+    opt = tx.init(params)
+    for i in range(3):
+        params, opt, metrics = step(params, opt, to_device(next(it)),
+                                    jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
