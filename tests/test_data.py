@@ -219,3 +219,57 @@ def test_mead_to_faceformer_training_integration(mead_root):
         params, opt, metrics = step(params, opt, to_device(next(it)),
                                     jax.random.PRNGKey(i))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_vocaset_to_faceformer_vert_training(vocaset_root):
+    """VOCASET loader -> vertex-space FaceFormer teacher-forced step (the
+    SURVEY M0 slice: wav2vec2 -> AR decoder -> vertex offsets + template)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from avi_talking_tpu.audio import Wav2Vec2Config
+    from avi_talking_tpu.models.faceformer_vert import (
+        FaceFormerVert,
+        FaceFormerVertConfig,
+    )
+
+    ds = VocasetDataset(
+        vocaset_root, ["FaceTalk_A"], ["FaceTalk_B"], ["FaceTalk_B"],
+        split="train",
+    )
+    item = ds[0]
+    T = item.vertice.shape[0]
+    cfg = FaceFormerVertConfig(
+        vertice_dim=item.vertice.shape[1], feature_dim=32, period=5,
+        num_train_subjects=len(ds.train_subjects), wav2vec2=Wav2Vec2Config.tiny(),
+    )
+    model = FaceFormerVert(cfg, template=jnp.asarray(item.template))
+    audio = jnp.asarray(item.audio[: T * 640][None])
+    verts = jnp.asarray(item.vertice[None])
+    emo = jnp.zeros((1, T, cfg.emo_dim))
+    one_hot = jnp.asarray(item.one_hot[None])
+    params = model.init(jax.random.PRNGKey(0), audio, verts, emo, one_hot)
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def lf(p):
+            pred = model.apply(p, audio, verts, emo, one_hot)
+            return jnp.mean((pred - verts) ** 2)
+
+        loss, g = jax.value_and_grad(lf)(params)
+        upd, opt2 = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt2, loss
+
+    losses = []
+    for _ in range(10):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]  # fits a single clip
+    # AR prediction runs on the trained weights
+    out = model.apply(params, audio, T, emo, one_hot,
+                      method=FaceFormerVert.predict)
+    assert out.shape == (1, T, cfg.vertice_dim)
