@@ -197,3 +197,41 @@ def test_lipread_net_and_loss():
     assert float(loss_fn(crops, other)) > 0.0
     loss_l2 = LipReadingLoss(net, variables, metric="l2")
     assert float(loss_l2(crops, crops)) == 0.0
+
+
+def test_preprocessors():
+    from avi_talking_tpu.core import FlameModel, synthetic_assets
+    from avi_talking_tpu.models.preprocessors import (
+        EmotionRecognitionPreprocessor,
+        FlamePreprocessor,
+        SpeechEmotionRecognitionPreprocessor,
+    )
+    from avi_talking_tpu.audio import Wav2Vec2Config
+    from avi_talking_tpu.audio.ser import Wav2Vec2SER
+
+    assets = synthetic_assets(n_shape=8, n_exp=6)
+    pp = FlamePreprocessor(FlameModel(assets, 8, 6))
+    rng = np.random.default_rng(8)
+    B, T = 2, 4
+    batch = {
+        "gt_shape": jnp.asarray(rng.standard_normal((B, 8)).astype(np.float32)),
+        "gt_exp": jnp.asarray(rng.standard_normal((B, T, 6)).astype(np.float32)),
+        "gt_jaw": jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32) * 0.1),
+    }
+    out = pp(batch)
+    assert out["gt_vertices"].shape == (B, T, 128, 3)
+    assert out["template"].shape == (B, 128, 3)
+
+    emo = EmotionRecognitionModule()
+    frames = jnp.zeros((1, 2, 32, 32, 3))
+    v = emo.init(jax.random.PRNGKey(0), frames.reshape(2, 32, 32, 3))
+    ep = EmotionRecognitionPreprocessor(emo, v)
+    res = ep(frames)
+    assert res["gt_emo_feat_2"].shape == (1, 2, 2048)
+    assert res["gt_expression_logits"].shape == (1, 2, 8)
+
+    ser = Wav2Vec2SER(Wav2Vec2Config.tiny(), num_labels=8, classifier_proj_size=16)
+    audio = jnp.zeros((1, 3200))
+    sv = ser.init(jax.random.PRNGKey(0), audio, output_len=5)
+    sp = SpeechEmotionRecognitionPreprocessor(ser, sv)
+    assert sp(audio, output_len=5)["gt_audio_emotion_logits"].shape == (1, 8)
