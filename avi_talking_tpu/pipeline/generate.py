@@ -257,15 +257,23 @@ class AviTalkingPipeline:
             self.clip_model, self.brain, self.prior, self.head, self.cfg
         )
 
-        @functools.partial(jax.jit, static_argnums=(4,))
-        def run(params, token_ids, audio, rng, cond_scale=1.0):
+        @functools.partial(jax.jit, static_argnums=(4, 5, 6))
+        def run(params, token_ids, audio, rng, cond_scale=1.0,
+                sampler="ddpm", ddim_steps=20):
             hidden = clip_model.apply(params["clip"], token_ids)
             voxel = hidden.mean(axis=1)
             clip_voxels, _ = brain.apply(params["brain"], voxel)
-            style = prior.p_sample_loop(
-                params["prior"], (token_ids.shape[0], 1, cfg.clip_size),
-                clip_voxels, rng, cond_scale=cond_scale,
-            )[:, 0]
+            shape = (token_ids.shape[0], 1, cfg.clip_size)
+            if sampler == "ddim":
+                style = prior.ddim_sample_loop(
+                    params["prior"], shape, clip_voxels, rng,
+                    steps=ddim_steps, cond_scale=cond_scale,
+                )[:, 0]
+            else:
+                style = prior.p_sample_loop(
+                    params["prior"], shape, clip_voxels, rng,
+                    cond_scale=cond_scale,
+                )[:, 0]
             return head.apply(params["head"], audio, style_emb=style)
 
         return run
@@ -359,6 +367,8 @@ class AviTalkingPipeline:
         cond_scale: float = 1.0,
         intervals: Optional[Intervals] = None,
         sample_rate: int = 16_000,
+        sampler: str = "ddpm",  # "ddim" = faster style sampling (see
+        ddim_steps: int = 20,   # DiffusionPrior.ddim_sample_loop)
     ) -> Dict[str, np.ndarray]:
         """wav (path or float array) + instruction -> exp/jaw/vertices."""
         if isinstance(wav, str):
@@ -370,7 +380,9 @@ class AviTalkingPipeline:
 
         rng = jax.random.PRNGKey(seed)
         ids = jnp.asarray(self.tokenizer([instruction]))
-        out = self._generate_fused_fn(self.params, ids, audio, rng, cond_scale)
+        out = self._generate_fused_fn(
+            self.params, ids, audio, rng, cond_scale, sampler, ddim_steps
+        )
 
         exp, jaw = out["exp"], out["jaw"]
         if intervals is not None:

@@ -146,3 +146,13 @@ def test_pipeline_save_load(tmp_path, pipe):
     b_after = fresh.generate(wav, "calm", seed=0)
     np.testing.assert_allclose(a["style_emb"], b_after["style_emb"], rtol=1e-5)
     np.testing.assert_allclose(a["exp"], b_after["exp"], rtol=1e-4, atol=1e-6)
+
+
+def test_generate_ddim_sampler(pipe):
+    wav = np.zeros(8000, np.float32)
+    a = pipe.generate(wav, "happy", seed=1, sampler="ddim", ddim_steps=5)
+    b = pipe.generate(wav, "happy", seed=1, sampler="ddim", ddim_steps=5)
+    c = pipe.generate(wav, "happy", seed=1)  # ddpm
+    np.testing.assert_allclose(a["style_emb"], b["style_emb"])
+    assert not np.allclose(a["style_emb"], c["style_emb"])
+    assert np.isfinite(a["exp"]).all()
