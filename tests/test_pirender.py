@@ -153,3 +153,58 @@ def test_pirender_trainer_two_stages():
     p, opt, m_full = step(p, opt, batch, False)
     assert {"perceptual_warp", "perceptual_final", "loss"} <= set(m_full)
     assert np.isfinite(float(m_full["loss"]))
+
+
+def test_pirender_render_loss_composition():
+    """Full stage-1 render-loss path: coeff -> descriptor window -> PIRender
+    -> upper-face-masked perceptual losses."""
+    import jax.numpy as jnp
+
+    from avi_talking_tpu.train.perceptual import PerceptualLoss, Vgg19Features
+    from avi_talking_tpu.train.render_loss import (
+        PIRenderRenderLoss,
+        obtain_seq_index,
+        upper_face_mask_like,
+    )
+
+    # window indices clamp at the edges like the reference
+    idx = np.asarray(obtain_seq_index(jnp.asarray(0), 20))
+    assert idx[0] == 0 and idx[-1] == 13 and len(idx) == 27
+    idx2 = np.asarray(obtain_seq_index(jnp.asarray(19), 20))
+    assert idx2[-1] == 19 and idx2[0] == 6
+
+    m = np.asarray(upper_face_mask_like(jnp.zeros((4, 4, 3))))
+    assert m[0].max() == 1 and m[3].max() == 0  # lower half zeroed
+
+    cfg = PIRenderConfig.tiny()  # coeff_nc 9 == [exp6 | rot3... ] adapt below
+    gen = FaceGenerator(cfg)
+    rng = np.random.default_rng(6)
+    B, T, H = 1, 8, 16
+    img = jnp.asarray(rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32))
+    win = jnp.asarray(rng.standard_normal((B, 27, cfg.coeff_nc)).astype(np.float32))
+    gparams = gen.init(jax.random.PRNGKey(0), img, win)
+    vgg = Vgg19Features(taps=("relu_1_1",))
+    vparams = vgg.init(jax.random.PRNGKey(1), img)["params"]
+
+    # pred coeff dim 9 -> descriptor = exp(6-3=3? no: d-3 exp + jaw3) + rot3
+    # + cam3 = 9+... match coeff_nc by using pred dim 3: exp0 is empty; use
+    # pred with d=3 (jaw only) -> descriptor dim 0+3+3+3 == 9 == coeff_nc
+    pred = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    batch = {
+        "pose": jnp.asarray(rng.standard_normal((B, T, 6)).astype(np.float32)),
+        "cam": jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32)),
+        "images": jnp.asarray(rng.uniform(-1, 1, (B, T, H, H, 3)).astype(np.float32)),
+        "ref_images": jnp.asarray(rng.uniform(-1, 1, (B, T, H, H, 3)).astype(np.float32)),
+    }
+    loss_fn = PIRenderRenderLoss(
+        generator=gen, generator_params=gparams,
+        perceptual_warp=PerceptualLoss(vgg, layers=("relu_1_1",), num_scales=1),
+        perceptual_final=PerceptualLoss(vgg, layers=("relu_1_1",), num_scales=1),
+        vgg_params=vparams,
+        coeff_mean=jnp.zeros(3), coeff_std=jnp.ones(3), n_samples=2,
+    )
+    loss = loss_fn(pred, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # differentiable w.r.t. predicted coefficients
+    g = jax.grad(lambda p: loss_fn(p, batch, jax.random.PRNGKey(2)))(pred)
+    assert np.abs(np.asarray(g)).sum() > 0
