@@ -100,6 +100,7 @@ class EmoteTalkingHead(nn.Module):
                 nhead=c.nhead,
                 dim_feedforward=d,
                 activation=c.activation,
+                dropout_rate=c.dropout,  # active only when deterministic=False
                 name="bert_decoder",
                 **dd,
             )

@@ -143,3 +143,17 @@ def test_feedforward_decoder_family():
     assert out["exp"].shape == (2, 10, 6)
     assert out["jaw"].shape == (2, 10, 3)
     assert out["vertices"].shape == (2, 10, 128, 3)
+
+
+def test_bert_dropout_active_in_training_mode(tiny_head):
+    cfg, head, params, audio, cond = tiny_head
+    import jax as _jax
+
+    det = head.apply(params, audio, cond, deterministic=True)
+    d1 = head.apply(params, audio, cond, deterministic=False,
+                    rngs={"dropout": _jax.random.PRNGKey(0)})
+    d2 = head.apply(params, audio, cond, deterministic=False,
+                    rngs={"dropout": _jax.random.PRNGKey(1)})
+    # dropout (cfg.dropout=0.25... tiny uses default 0.25) changes outputs
+    assert not np.allclose(np.asarray(det["exp"]), np.asarray(d1["exp"]))
+    assert not np.allclose(np.asarray(d1["exp"]), np.asarray(d2["exp"]))
