@@ -28,3 +28,12 @@ Layer map (top -> bottom):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: avi_talking_tpu.AviTalkingPipeline etc.
+    if name in ("AviTalkingPipeline", "PipelineConfig"):
+        from . import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(f"module 'avi_talking_tpu' has no attribute {name!r}")
