@@ -67,12 +67,13 @@ class PipelineConfig:
 
 
 class _HashTokenizer:
-    """Deterministic fallback tokenizer (whitespace + hashing).
+    """Deterministic fallback tokenizer (whitespace + hashing) — LAST resort.
 
-    The real CLIP BPE tokenizer (HF ``CLIPTokenizer``) is used when its vocab
-    is available locally; in zero-egress environments this fallback keeps the
-    full pipeline runnable — with random CLIP weights the exact token ids are
-    immaterial, and with real weights the HF tokenizer is required anyway.
+    Only used when no vocab.json/merges.txt pair exists anywhere
+    (``text.find_tokenizer_assets``) AND the caller did not require a real
+    tokenizer. With random CLIP weights the exact token ids are immaterial
+    (tests/bench); with real weights it would produce garbage, so
+    ``load_tokenizer(require_real=True)`` refuses to fall back here.
     """
 
     def __init__(self, vocab_size: int, max_length: int):
@@ -95,7 +96,41 @@ class _HashTokenizer:
         return out
 
 
-def _load_tokenizer(vocab_size: int, max_length: int):
+def load_tokenizer(
+    vocab_size: int,
+    max_length: int,
+    *,
+    assets_dir=None,
+    require_real: bool = False,
+):
+    """CLIP tokenizer resolution, in order of preference:
+
+    1. our offline BPE (``text.ClipBpeTokenizer``) from a local
+       vocab.json+merges.txt pair (repo ``assets/clip_tokenizer/``, the
+       ``AVI_TALKING_CLIP_TOKENIZER`` env var, or the HF hub cache) —
+       bit-exact with HF ``CLIPTokenizer`` (tests/test_clip_tokenizer.py);
+    2. HF ``CLIPTokenizer.from_pretrained(local_files_only=True)``;
+    3. the hash fallback — refused when ``require_real`` (i.e. whenever real
+       CLIP weights are in play; reference uses the real tokenizer at
+       /root/reference/models/diffusion_prior.py:36-44).
+    """
+    from ..text import ClipBpeTokenizer, find_tokenizer_assets
+
+    found = find_tokenizer_assets(assets_dir)
+    if found is not None:
+        tok = ClipBpeTokenizer.from_dir(found, max_length=max_length)
+        if tok.vocab_size <= vocab_size:
+            return tok
+        if require_real:
+            raise RuntimeError(
+                f"CLIP tokenizer vocab ({tok.vocab_size}) exceeds the text "
+                f"tower's vocab_size ({vocab_size}) — tokenizer and model "
+                "checkpoint do not match."
+            )
+        # tiny test configs: keep the real tokenization but fold ids into
+        # range (ids are immaterial with random weights; out-of-range ids
+        # would NaN the embedding gather)
+        return lambda texts, _t=tok: tok(texts) % vocab_size
     try:
         from transformers import CLIPTokenizer
 
@@ -112,7 +147,23 @@ def _load_tokenizer(vocab_size: int, max_length: int):
 
         return tokenize
     except Exception:
+        if require_real:
+            raise RuntimeError(
+                "No CLIP tokenizer vocab found. Real CLIP weights need the "
+                "real BPE tokenizer: place vocab.json + merges.txt under "
+                "assets/clip_tokenizer/ (or set AVI_TALKING_CLIP_TOKENIZER)."
+            )
+        import warnings
+
+        warnings.warn(
+            "CLIP vocab not found — falling back to the hash tokenizer. "
+            "Fine for random weights; WRONG for imported CLIP checkpoints.",
+            stacklevel=2,
+        )
         return _HashTokenizer(vocab_size, max_length)
+
+
+_load_tokenizer = load_tokenizer  # backwards-compat alias
 
 
 @dataclasses.dataclass
@@ -185,7 +236,21 @@ class AviTalkingPipeline:
                 "prior": prior_params,
                 "head": head_params,
             },
-            tokenizer=_load_tokenizer(cfg.clip.vocab_size, cfg.max_tokens),
+            tokenizer=load_tokenizer(cfg.clip.vocab_size, cfg.max_tokens),
+        )
+
+    def require_real_tokenizer(self, assets_dir=None) -> None:
+        """Swap in the real CLIP BPE tokenizer (raises if no vocab exists).
+
+        Call after grafting imported real CLIP weights into
+        ``params['clip']`` (models.clip_text.clip_text_params_from_torch) —
+        the hash fallback would feed them garbage ids.
+        """
+        self.tokenizer = load_tokenizer(
+            self.cfg.clip.vocab_size,
+            self.cfg.max_tokens,
+            assets_dir=assets_dir,
+            require_real=True,
         )
 
     def save(self, path: str) -> None:

@@ -1,0 +1,158 @@
+"""Golden parity: our offline CLIP BPE tokenizer vs HF ``CLIPTokenizer``.
+
+The real 49k CLIP vocab needs a download, so the test *learns* a genuine BPE
+vocab from the fixture caption corpus (``experiments/json_dir``), saves it in
+HF format, instantiates HF's slow ``CLIPTokenizer`` from those files, and
+asserts token-id equality string-for-string — proving the algorithm (cleanup,
+regex pre-tokenizer, merge loop, truncation, padding) matches bit-for-bit.
+Reference tokenizer use: /root/reference/models/diffusion_prior.py:36-44.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from avi_talking_tpu.text import ClipBpeTokenizer, find_tokenizer_assets, learn_bpe
+from avi_talking_tpu.text.clip_bpe import clean_text, pre_tokenize, save_vocab_files
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def fixture_captions():
+    caps = []
+    for f in sorted((REPO / "experiments" / "json_dir").glob("*.json")):
+        caps.append(json.load(open(f))["output_texts"])
+    assert caps, "fixture corpus missing"
+    return caps
+
+
+ADVERSARIAL = [
+    "",
+    "a",
+    "A person's face, she'll 've 'd 'M 'T smile!!!",
+    "hello   world\t\nnew  line",
+    "naïve café — déjà vu…  ",
+    "数字 123 mixed 中文 and english",
+    "<|startoftext|> already has specials <|endoftext|>",
+    "!!'s quoted 'unknown contraction",
+    "emoji 😀 and ünïcödé",
+    "x" * 500 + " long word " + "ab " * 200,
+    "punct.,;:!?()[]{}<>#@$%^&*-_=+|\\/~`\"'",
+    "MiXeD CaSe LeTTeRs",
+]
+
+
+@pytest.fixture(scope="module")
+def learned(tmp_path_factory):
+    corpus = fixture_captions()
+    vocab, merges = learn_bpe(corpus, num_merges=300)
+    out = tmp_path_factory.mktemp("clip_tok")
+    save_vocab_files(vocab, merges, out)
+    return vocab, merges, out
+
+
+def test_learn_bpe_produces_real_merges(learned):
+    vocab, merges, _ = learned
+    assert len(merges) > 50  # corpus is repetitive, must compress well
+    assert "<|startoftext|>" in vocab and "<|endoftext|>" in vocab
+    assert len(vocab) == 512 + len(merges) + 2
+
+
+def test_hf_roundtrip_vocab_files(learned):
+    """HF CLIPTokenizer must load our generated files (format sanity)."""
+    transformers = pytest.importorskip("transformers")
+    _, _, out = learned
+    tok = transformers.CLIPTokenizer(str(out / "vocab.json"), str(out / "merges.txt"))
+    assert tok.vocab_size == len(learned[0])
+
+
+def test_token_ids_match_hf_on_fixture_corpus(learned):
+    transformers = pytest.importorskip("transformers")
+    _, _, out = learned
+    hf = transformers.CLIPTokenizer(str(out / "vocab.json"), str(out / "merges.txt"))
+    ours = ClipBpeTokenizer.from_dir(out, max_length=77)
+    texts = fixture_captions()
+    enc = hf(texts, truncation=True, max_length=77, padding="max_length",
+             return_tensors="np")["input_ids"].astype(np.int32)
+    np.testing.assert_array_equal(ours(texts), enc)
+
+
+def test_token_ids_match_hf_adversarial(learned):
+    transformers = pytest.importorskip("transformers")
+    _, _, out = learned
+    hf = transformers.CLIPTokenizer(str(out / "vocab.json"), str(out / "merges.txt"))
+    ours = ClipBpeTokenizer.from_dir(out, max_length=77)
+    for text in ADVERSARIAL:
+        want = hf([text], truncation=True, max_length=77, padding="max_length",
+                  return_tensors="np")["input_ids"].astype(np.int32)
+        got = ours([text])
+        np.testing.assert_array_equal(got, want, err_msg=f"text={text!r}")
+
+
+def test_tokenize_matches_hf_string_pieces(learned):
+    """Compare the intermediate BPE pieces, not just ids, on raw strings."""
+    transformers = pytest.importorskip("transformers")
+    _, _, out = learned
+    hf = transformers.CLIPTokenizer(str(out / "vocab.json"), str(out / "merges.txt"))
+    ours = ClipBpeTokenizer.from_dir(out)
+    for text in fixture_captions()[:4] + ADVERSARIAL:
+        assert ours.tokenize(text) == hf.tokenize(text), text
+
+
+def test_decode_roundtrip(learned):
+    _, _, out = learned
+    ours = ClipBpeTokenizer.from_dir(out)
+    text = "a happy person speaks with raised brow"
+    assert ours.decode(ours.encode(text)) == text
+
+
+def test_truncation_and_padding_shape(learned):
+    _, _, out = learned
+    ours = ClipBpeTokenizer.from_dir(out, max_length=16)
+    ids = ours(["word " * 100, "hi"])
+    assert ids.shape == (2, 16)
+    assert ids[0, 0] == ours.bos_id and ids[0, -1] == ours.eos_id
+    # short row padded with eos
+    assert (ids[1] == ours.eos_id).sum() >= 12
+
+
+def test_pre_tokenize_scanner_cases():
+    assert pre_tokenize("it's a test") == ["it", "'s", "a", "test"]
+    assert pre_tokenize("abc123!?") == ["abc", "1", "2", "3", "!?"]
+    assert pre_tokenize("!!'s x") == ["!!'", "s", "x"]  # greedy symbol run
+    assert pre_tokenize("<|endoftext|>hi") == ["<|endoftext|>", "hi"]
+
+
+def test_clean_text_basic():
+    assert clean_text("  Hello\tWORLD\n") == "hello world"
+    assert clean_text("中文abc") == "中 文 abc"
+    assert clean_text("a\x00b�c") == "abc"
+
+
+def test_find_assets_env(tmp_path, monkeypatch, learned):
+    _, _, out = learned
+    monkeypatch.setenv("AVI_TALKING_CLIP_TOKENIZER", str(out))
+    assert find_tokenizer_assets() == out
+    monkeypatch.setenv("AVI_TALKING_CLIP_TOKENIZER", str(tmp_path))  # empty dir
+    found = find_tokenizer_assets()
+    assert found != tmp_path
+
+
+def test_load_tokenizer_resolution(monkeypatch, learned):
+    """Pipeline resolution: real BPE when vocab fits; folded ids for tiny
+    models; require_real raises on mismatch or absence."""
+    from avi_talking_tpu.pipeline.generate import load_tokenizer
+    from avi_talking_tpu.text import ClipBpeTokenizer
+
+    _, _, out = learned
+    monkeypatch.setenv("AVI_TALKING_CLIP_TOKENIZER", str(out))
+    tok = load_tokenizer(49408, 77, require_real=True)
+    assert isinstance(tok, ClipBpeTokenizer)
+    # tiny model: ids folded into range, still runs
+    small = load_tokenizer(99, 16)
+    ids = small(["a happy person speaks"])
+    assert ids.max() < 99 and ids.shape == (1, 16)
+    with pytest.raises(RuntimeError):
+        load_tokenizer(99, 16, require_real=True)
