@@ -130,6 +130,7 @@ def cmd_train_prior(args) -> int:
 
     cfg = PriorTrainingConfig(
         total_steps=args.steps, batch_size=args.batch_size, max_lr=args.lr,
+        val_every=args.val_every, val_steps=args.val_steps, resume=args.resume,
     )
     mesh = None
     import jax
@@ -138,6 +139,9 @@ def cmd_train_prior(args) -> int:
         mesh = make_mesh(tp=1)
     res = train_prior(cfg, logdir=args.logdir, ckpt_dir=args.ckpt_dir, mesh=mesh)
     print("final:", res["metrics"])
+    if res.get("val_history"):
+        print(f"best val loss: {res['best_val_loss']:.4f} "
+              f"(best={res['best_ckpt']}, last={res['last_ckpt']})")
     return 0
 
 def cmd_train_faceformer(args) -> int:
@@ -325,6 +329,11 @@ def main(argv=None) -> int:
     t.add_argument("--logdir", default=None)
     t.add_argument("--ckpt-dir", default=None)
     t.add_argument("--dp", action="store_true", help="shard batch over devices")
+    t.add_argument("--val-every", type=int, default=0,
+                   help="validate every N steps; tags best/last ckpts")
+    t.add_argument("--val-steps", type=int, default=4)
+    t.add_argument("--resume", action="store_true",
+                   help="restore <ckpt-dir>/last before training")
     t.set_defaults(fn=cmd_train_prior)
 
     args = p.parse_args(argv)

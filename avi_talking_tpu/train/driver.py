@@ -13,6 +13,7 @@ random stream so the loop runs end to end without the external corpora.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Dict, Iterator, Optional
 
@@ -61,6 +62,11 @@ class PriorTrainingConfig:
     log_every: int = 50
     nce_temp_start: float = 0.004
     nce_temp_end: float = 0.0075
+    # validation loop (reference runs val each epoch and tags best/last,
+    # train_diffusion_prior.py:517-624); 0 disables
+    val_every: int = 0
+    val_steps: int = 4  # batches per validation pass
+    resume: bool = False  # restore <ckpt_dir>/last before training
 
 
 def train_prior(
@@ -70,13 +76,28 @@ def train_prior(
     ckpt_dir: Optional[str] = None,
     mesh=None,
     seed: int = 0,
+    val_batches=None,  # Callable[[], Iterator[batch]] -- re-iterable val split
 ) -> Dict[str, Any]:
-    """Run the prior training loop; returns final state + last metrics."""
+    """Run the prior training loop; returns final state + last metrics.
+
+    With ``cfg.val_every`` > 0 the loop validates every N steps on
+    ``val_batches()`` (retrieval metrics + losses at the current annealed
+    NCE temp, no grads), writes them under ``prior_val/``, saves
+    ``<ckpt_dir>/last`` each validation and tags ``<ckpt_dir>/best`` when
+    the mean val loss improves — the reference's per-epoch val + best/last
+    checkpointing (train_diffusion_prior.py:517-624). ``cfg.resume``
+    restores params/opt/step/best from ``last``.
+    """
     if logdir:
         set_summary_writer(logdir)
     if batches is None:
         batches = synthetic_batches(cfg.batch_size, cfg.total_steps,
                                     cfg.in_dim, cfg.clip_size, seed=seed)
+    if val_batches is None and cfg.val_every:
+        val_batches = lambda: synthetic_batches(  # noqa: E731
+            cfg.batch_size, cfg.val_steps, cfg.in_dim, cfg.clip_size,
+            seed=seed + 99_991,  # disjoint stream from training
+        )
 
     rng = jax.random.PRNGKey(seed)
     brain = BrainNetwork(out_dim=cfg.clip_size, in_dim=cfg.in_dim,
@@ -95,6 +116,25 @@ def train_prior(
     trainer = PriorTrainer(brain=brain, prior=prior, tx=tx)
     state = PriorTrainState.create(params, tx)
     step_fn = trainer.jitted_train_step(donate=True)
+    eval_fn = jax.jit(
+        lambda p, v, s, r, t: trainer.loss_fn(p, v, s, r, nce_temp=t)[1]
+    )
+
+    best_val_loss = float("inf")
+    start_step = 0
+    last_dir = f"{ckpt_dir}/last" if ckpt_dir else None
+    best_dir = f"{ckpt_dir}/best" if ckpt_dir else None
+    if cfg.resume and last_dir and os.path.isdir(last_dir):
+        restored = ckpt_lib.restore_checkpoint(
+            last_dir,
+            target={"state": state, "best_val_loss": jnp.zeros(())},
+        )
+        state = restored["state"]
+        best_val_loss = float(restored["best_val_loss"])
+        start_step = int(state.step)
+        if jax.process_index() == 0:
+            print(f"resumed from {last_dir} at step {start_step} "
+                  f"(best val loss {best_val_loss:.4f})")
 
     temps = np.asarray(
         cosine_anneal(cfg.nce_temp_start, cfg.nce_temp_end, max(cfg.total_steps, 2))
@@ -106,9 +146,43 @@ def train_prior(
     else:
         put = jnp.asarray
 
+    def run_validation(step: int) -> Dict[str, float]:
+        """Mean retrieval/loss metrics over the val split at the current
+        annealed temp (no grads, eval-mode dropout off via loss_fn's rng
+        being unused for dropout... the brain eval uses deterministic rng)."""
+        sums: Dict[str, float] = {}
+        n = 0
+        temp = jnp.asarray(temps[min(step, len(temps) - 1)])
+        for j, vb in enumerate(val_batches()):
+            m = eval_fn(state.params, put(vb["voxel"]), put(vb["style_target"]),
+                        jax.random.fold_in(rng, 1_000_000 + j), temp)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def save_tagged(step: int, val: Dict[str, float]) -> Dict[str, float]:
+        nonlocal best_val_loss
+        if not ckpt_dir or jax.process_index() != 0:
+            return val
+        if val["loss"] < best_val_loss:
+            best_val_loss = val["loss"]
+            # layout matches the train->serve graft target
+            # (pipeline.load_prior_checkpoint: {"params", "step"})
+            ckpt_lib.save_checkpoint(
+                best_dir, {"params": state.params, "step": state.step}
+            )
+        # "last" carries the updated best so resume keeps the tag honest
+        ckpt_lib.save_checkpoint(
+            last_dir, {"state": state, "best_val_loss": jnp.asarray(best_val_loss)}
+        )
+        return val
+
     metrics: Dict[str, Any] = {}
+    val_history = []
     t0 = time.time()
-    for i, batch in enumerate(batches):
+    i = start_step
+    for batch in batches:
         state, metrics = step_fn(
             state,
             put(batch["voxel"]),
@@ -116,18 +190,34 @@ def train_prior(
             jax.random.fold_in(rng, i),
             jnp.asarray(temps[min(i, len(temps) - 1)]),
         )
-        if (i + 1) % cfg.log_every == 0:
+        i += 1
+        if i % cfg.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            write_metrics(metrics, step=i + 1, prefix="prior/")
+            write_metrics(metrics, step=i, prefix="prior/")
             if jax.process_index() == 0:
-                rate = (i + 1) / (time.time() - t0)
-                print(f"step {i+1}: loss={m['loss']:.4f} "
+                rate = (i - start_step) / (time.time() - t0)
+                print(f"step {i}: loss={m['loss']:.4f} "
                       f"nce={m['loss_nce']:.4f} prior={m['loss_prior']:.4f} "
                       f"top1={m['top1_fwd']:.3f} ({rate:.1f} it/s)")
-    if ckpt_dir:
+        if cfg.val_every and val_batches is not None and i % cfg.val_every == 0:
+            val = run_validation(i)
+            write_metrics(val, step=i, prefix="prior_val/")
+            save_tagged(i, val)
+            val_history.append({"step": i, **val})
+            if jax.process_index() == 0:
+                print(f"  val@{i}: loss={val['loss']:.4f} "
+                      f"top1={val['top1_fwd']:.3f} (best {best_val_loss:.4f})")
+    if ckpt_dir and not cfg.val_every:
         ckpt_lib.save_checkpoint(ckpt_dir, {"params": state.params,
                                             "step": state.step})
-    return {"state": state, "metrics": {k: float(v) for k, v in metrics.items()}}
+    return {
+        "state": state,
+        "metrics": {k: float(v) for k, v in metrics.items()},
+        "val_history": val_history,
+        "best_val_loss": best_val_loss,
+        "best_ckpt": best_dir if (ckpt_dir and cfg.val_every) else None,
+        "last_ckpt": last_dir if (ckpt_dir and cfg.val_every) else ckpt_dir,
+    }
 
 
 def train_flint_vae(

@@ -50,10 +50,20 @@ def condition_exchange(
 
     Returns (doubled batch, permutation used for the exchanged half). The
     first half keeps original pairs; the second half has conditions drawn
-    from other samples (disentanglement supervision).
+    from OTHER samples (disentanglement supervision). The permutation is a
+    derangement — the reference asserts no fixed points
+    (TalkingHeadBase.py:414-419 reverses for B=2 / create_unique_permutation,
+    FaceFormer.py:252-253 asserts condition_indices differ everywhere) — a
+    fixed point would silently turn the disentangled term into the plain one.
+    jit-friendly construction: conjugate a random 1-shift cycle by a random
+    permutation (q∘roll∘q⁻¹ has no fixed points for any q, shift>=1).
     """
     B = next(iter(batch.values())).shape[0]
-    perm = jax.random.permutation(rng, B)
+    r_q, r_s = jax.random.split(rng)
+    q = jax.random.permutation(r_q, B)
+    shift = jax.random.randint(r_s, (), 1, max(B, 2))
+    rolled = (jnp.arange(B) + shift) % B
+    perm = jnp.zeros((B,), q.dtype).at[q].set(q[rolled])
     out: Dict[str, jax.Array] = {}
     for k, v in batch.items():
         if k in condition_keys:

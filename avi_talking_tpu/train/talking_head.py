@@ -1,21 +1,25 @@
 """Talking-head (EMOTE-style) training step with dp/tp sharding.
 
-The reference trains EMOTE via Lightning DDP with vertex/exp/jaw (+velocity)
-losses (inferno FaceFormer.py losses, training_pass.py:258-349). The
-TPU-native step: one jitted function over a ("dp", "tp") mesh — batch sharded
-on dp, wav2vec2 encoder tensor-parallel on tp (parallel.mesh rules), XLA
-inserting the gradient all-reduces.
+The reference trains EMOTE via Lightning DDP with geometric losses
+(exp/jaw/vertex + velocity; inferno FaceFormer.py:107-195) plus frozen
+*neural* perceptual losses over differentiable renders — per-frame emotion
+(EmoNet) features, lip-reading features on mouth crops, and a video-level
+emotion classifier (FaceFormer.py:196-440) — optionally doubled through the
+``condition_exchange`` disentanglement scheme (TalkingHeadBase.py:258-435):
+the batch is duplicated with style conditions drawn from other samples, and
+the exchanged half is supervised to carry the *borrowed* emotion while
+keeping the original lip articulation.
 
-Losses implemented: exp/jaw MSE, vertex MSE (when FLAME assets present) and
-velocity losses — the geometric subset; the neural perceptual losses
-(lip-reading, video emotion) depend on external perception checkpoints and
-are pluggable later.
+TPU-native design: ONE jitted function over a ("dp", "tp") mesh — batch on
+dp, wav2vec2 tensor-parallel on tp — with the differentiable render
+(viz.shading.render_shaded, lax.scan z-buffer) and all frozen perception
+towers fused into the same XLA program; no host round-trip per loss term.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +30,57 @@ from ..models.emote import EmoteTalkingHead
 
 
 @dataclasses.dataclass
+class NeuralLosses:
+    """Frozen perceptual losses over differentiable renders.
+
+    ``renderer`` is a viz.visualizer.FixedViewRenderer; the perception
+    towers are optional and frozen (their variables live here, outside the
+    optimized params pytree, exactly like the reference's ``neural_losses``
+    Munch of eval()-ed modules — FaceFormer.py:61-94).
+    """
+
+    renderer: Any  # FixedViewRenderer
+    # lip-reading consistency (models.lipread)
+    lipread: Optional[Any] = None  # LipReadingLoss
+    lipread_weight: float = 0.0
+    # per-frame emotion feature loss (models.emoca.EmoNetLoss)
+    emonet: Optional[Any] = None  # EmoNetLoss
+    emonet_variables: Optional[Dict] = None
+    emotion_weight: float = 0.0
+    # video-level emotion loss (models.video_emotion.VideoEmotionLoss);
+    # frame features come from the EmoNet tower (emo_feat_2)
+    video_emotion: Optional[Any] = None  # VideoEmotionLoss
+    video_emotion_weight: float = 0.0
+
+    def any_enabled(self) -> bool:
+        return (
+            (self.lipread is not None and self.lipread_weight > 0)
+            or (self.emonet is not None and self.emotion_weight > 0)
+            or (self.video_emotion is not None and self.video_emotion_weight > 0)
+        )
+
+    # -- helpers ----------------------------------------------------------
+
+    def render_video(self, vertices: jax.Array) -> jax.Array:
+        """(B, T, V, 3) -> (B, T, H, W, 3) via the fixed front view."""
+        return jax.vmap(lambda v: self.renderer.render_jax(v, 0))(vertices)
+
+    def mouth_crops(self, video: jax.Array) -> jax.Array:
+        """(B, T, H, W, 3) -> lipread-normalized grayscale mouth patches."""
+        from ..models.lipread import mouth_transform
+
+        crop = self.renderer.crop_mouth(video)
+        return mouth_transform(crop.mean(axis=-1))
+
+    def frame_emo_features(self, video: jax.Array) -> jax.Array:
+        """(B, T, H, W, 3) -> (B, T, emo_feat_dim) via the EmoNet tower."""
+        B, T = video.shape[:2]
+        flat = video.reshape(B * T, *video.shape[2:])
+        feats = self.emonet.module.apply(self.emonet_variables, flat)["emo_feat_2"]
+        return feats.reshape(B, T, -1)
+
+
+@dataclasses.dataclass
 class TalkingHeadTrainer:
     head: EmoteTalkingHead
     tx: optax.GradientTransformation
@@ -33,8 +88,113 @@ class TalkingHeadTrainer:
     jaw_weight: float = 1.0
     vertex_weight: float = 1.0
     velocity_weight: float = 10.0
+    neural: Optional[NeuralLosses] = None
+    # None | "condition_exchange" (TalkingHeadBase.py:252-255: expansion x2)
+    disentangle: Optional[str] = None
+
+    # ------------------------------------------------------------------
+
+    def _geometric_losses(self, out, batch, B_eff, metrics):
+        loss = 0.0
+        exp, jaw = out["exp"][:B_eff], out["jaw"][:B_eff]
+        if "gt_exp" in batch:
+            gt = batch["gt_exp"][:B_eff]
+            l_exp = jnp.mean((exp - gt) ** 2)
+            l_expv = jnp.mean((jnp.diff(exp, axis=1) - jnp.diff(gt, axis=1)) ** 2)
+            loss += self.exp_weight * l_exp + self.velocity_weight * l_expv
+            metrics.update(loss_exp=l_exp, loss_exp_vel=l_expv)
+        if "gt_jaw" in batch:
+            gt = batch["gt_jaw"][:B_eff]
+            l_jaw = jnp.mean((jaw - gt) ** 2)
+            l_jawv = jnp.mean((jnp.diff(jaw, axis=1) - jnp.diff(gt, axis=1)) ** 2)
+            loss += self.jaw_weight * l_jaw + self.velocity_weight * l_jawv
+            metrics.update(loss_jaw=l_jaw, loss_jaw_vel=l_jawv)
+        if "gt_vertices" in batch and "vertices" in out:
+            l_v = jnp.mean((out["vertices"][:B_eff] - batch["gt_vertices"][:B_eff]) ** 2)
+            loss += self.vertex_weight * l_v
+            metrics["loss_vertex"] = l_v
+        return loss
+
+    def _neural_losses(self, out, batch, B_orig, perm, metrics):
+        """Render-based perceptual terms. With disentangling, the exchanged
+        half (rows B_orig:) is supervised per the reference:
+
+        - lip-reading: exchanged predictions must keep the ORIGINAL mouth
+          articulation -> gt rows [:B_orig] (FaceFormer.py:319-377, gt_vid
+          taken at [:B_orig] vs pred [B_orig:]);
+        - emotion: exchanged predictions must carry the BORROWED emotion ->
+          gt rows [perm] (FaceFormer.py:223-268, gt at [condition_indices_2]).
+        """
+        nl = self.neural
+        loss = 0.0
+        pred_video = nl.render_video(out["vertices"])  # (B or 2B, T, H, W, 3)
+        gt_video = jax.lax.stop_gradient(
+            nl.render_video(batch["gt_vertices"][:B_orig])
+        )
+        mask = batch.get("frame_mask")  # (B_orig, T) 1=valid, optional
+
+        if nl.lipread is not None and nl.lipread_weight > 0:
+            pred_m = nl.mouth_crops(pred_video[:B_orig])
+            gt_m = nl.mouth_crops(gt_video)
+            l_lip = nl.lipread(pred_m, gt_m, mask=mask)
+            loss += nl.lipread_weight * l_lip
+            metrics["loss_lipread"] = l_lip
+            if perm is not None:
+                l_lip_d = nl.lipread(
+                    nl.mouth_crops(pred_video[B_orig:]), gt_m, mask=mask
+                )
+                loss += nl.lipread_weight * l_lip_d
+                metrics["loss_lipread_disentangled"] = l_lip_d
+
+        if nl.emonet is not None and nl.emotion_weight > 0:
+            flat = lambda v: v.reshape(-1, *v.shape[2:])  # noqa: E731
+            l_emo, _ = nl.emonet(
+                nl.emonet_variables, flat(pred_video[:B_orig]), flat(gt_video)
+            )
+            loss += nl.emotion_weight * l_emo
+            metrics["loss_emotion"] = l_emo
+            if perm is not None:
+                l_emo_d, _ = nl.emonet(
+                    nl.emonet_variables,
+                    flat(pred_video[B_orig:]),
+                    flat(gt_video[perm]),
+                )
+                loss += nl.emotion_weight * l_emo_d
+                metrics["loss_emotion_disentangled"] = l_emo_d
+
+        if nl.video_emotion is not None and nl.video_emotion_weight > 0:
+            pred_feats = nl.frame_emo_features(pred_video[:B_orig])
+            gt_logits = batch.get("gt_emotion_video_logits")
+            gt_label = batch.get("expression")
+            if gt_label is not None and gt_label.ndim == 2:  # one-hot
+                gt_label = jnp.argmax(gt_label, axis=-1)
+            l_vemo = nl.video_emotion(
+                pred_feats,
+                gt_label=None if gt_logits is not None else gt_label[:B_orig],
+                gt_logits=None if gt_logits is None else gt_logits[:B_orig],
+            )
+            loss += nl.video_emotion_weight * l_vemo
+            metrics["loss_video_emotion"] = l_vemo
+            if perm is not None:
+                feats_d = nl.frame_emo_features(pred_video[B_orig:])
+                l_vemo_d = nl.video_emotion(
+                    feats_d,
+                    gt_label=None if gt_logits is not None else gt_label[:B_orig][perm],
+                    gt_logits=None if gt_logits is None else gt_logits[:B_orig][perm],
+                )
+                loss += nl.video_emotion_weight * l_vemo_d
+                metrics["loss_video_emotion_disentangled"] = l_vemo_d
+        return loss
+
+    # ------------------------------------------------------------------
 
     def loss_fn(self, params, batch: Dict[str, Any], rng: jax.Array):
+        B_orig = batch["raw_audio"].shape[0]
+        perm = None
+        if self.disentangle == "condition_exchange":
+            from .eval_metrics import condition_exchange
+
+            batch, perm = condition_exchange(batch, rng)
         cond = StyleCondition(
             expression=batch["expression"],
             intensity=batch["intensity"],
@@ -44,27 +204,14 @@ class TalkingHeadTrainer:
         out = self.head.apply(
             params, batch["raw_audio"], cond, gt_shape=batch.get("gt_shape")
         )
-        loss = 0.0
-        metrics = {}
-        exp, jaw = out["exp"], out["jaw"]
-        if "gt_exp" in batch:
-            l_exp = jnp.mean((exp - batch["gt_exp"]) ** 2)
-            l_expv = jnp.mean(
-                (jnp.diff(exp, axis=1) - jnp.diff(batch["gt_exp"], axis=1)) ** 2
+        metrics: Dict[str, jax.Array] = {}
+        loss = self._geometric_losses(out, batch, B_orig, metrics)
+        if self.neural is not None and self.neural.any_enabled():
+            assert "vertices" in out and "gt_vertices" in batch, (
+                "neural losses need FLAME vertices (construct the head with "
+                "flame_assets and provide gt_vertices)"
             )
-            loss += self.exp_weight * l_exp + self.velocity_weight * l_expv
-            metrics.update(loss_exp=l_exp, loss_exp_vel=l_expv)
-        if "gt_jaw" in batch:
-            l_jaw = jnp.mean((jaw - batch["gt_jaw"]) ** 2)
-            l_jawv = jnp.mean(
-                (jnp.diff(jaw, axis=1) - jnp.diff(batch["gt_jaw"], axis=1)) ** 2
-            )
-            loss += self.jaw_weight * l_jaw + self.velocity_weight * l_jawv
-            metrics.update(loss_jaw=l_jaw, loss_jaw_vel=l_jawv)
-        if "gt_vertices" in batch and "vertices" in out:
-            l_v = jnp.mean((out["vertices"] - batch["gt_vertices"]) ** 2)
-            loss += self.vertex_weight * l_v
-            metrics["loss_vertex"] = l_v
+            loss += self._neural_losses(out, batch, B_orig, perm, metrics)
         metrics["loss"] = loss
         return loss, metrics
 

@@ -127,24 +127,27 @@ class FixedViewRenderer:
         self.cams = jnp.asarray(_np.asarray(cams, _np.float32))
         self.mouth_crop = mouth_crop
 
-    def render(self, verts) -> "np.ndarray":
-        """(T, V, 3) -> (n_views, T, H, W, 3) SH-shaded images."""
+    def render_jax(self, verts, view: int = 0) -> jax.Array:
+        """(T, V, 3) -> (T, H, W, 3), jittable + differentiable (gradients
+        flow through shading/interpolation, as with the reference's
+        pytorch3d render losses)."""
         from .shading import render_shaded
 
         verts = jnp.asarray(verts)
-        outs = []
-        for ci in range(self.cams.shape[0]):
-            cam = jnp.broadcast_to(self.cams[ci : ci + 1], (verts.shape[0], 3))
-            proj = batch_orth_proj(verts, cam)
-            ndc = jnp.stack(
-                [proj[..., 0], -proj[..., 1], -proj[..., 2]], axis=-1
-            )
-            outs.append(
-                np.asarray(
-                    render_shaded(ndc, self.faces, self.image_size, self.image_size)
-                )
-            )
-        return np.stack(outs)
+        cam = jnp.broadcast_to(self.cams[view : view + 1], (verts.shape[0], 3))
+        proj = batch_orth_proj(verts, cam)
+        ndc = jnp.stack([proj[..., 0], -proj[..., 1], -proj[..., 2]], axis=-1)
+        return render_shaded(ndc, self.faces, self.image_size, self.image_size)
+
+    def render(self, verts) -> "np.ndarray":
+        """(T, V, 3) -> (n_views, T, H, W, 3) SH-shaded images."""
+        verts = jnp.asarray(verts)
+        return np.stack(
+            [
+                np.asarray(self.render_jax(verts, ci))
+                for ci in range(self.cams.shape[0])
+            ]
+        )
 
     def crop_mouth(self, images: "np.ndarray") -> "np.ndarray":
         """(..., H, W, C) -> the fixed mouth box (lip-reading input crop)."""

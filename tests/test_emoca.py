@@ -182,21 +182,32 @@ def test_video_emotion_classifier_and_loss():
 
 
 def test_lipread_net_and_loss():
-    from avi_talking_tpu.models.lipread import LipReadingLoss, LipReadingNet
+    from avi_talking_tpu.models.lipread import (
+        LipReadingLoss, LipReadingNet, mouth_transform,
+    )
 
-    net = LipReadingNet(feature_dim=32, width=8)
+    net = LipReadingNet()
     rng = np.random.default_rng(6)
-    crops = jnp.asarray(rng.uniform(0, 1, (1, 4, 48, 48, 1)).astype(np.float32))
+    frames = jnp.asarray(rng.uniform(0, 1, (1, 3, 96, 96)).astype(np.float32))
+    crops = mouth_transform(frames)  # center 88x88, normalized
+    assert crops.shape == (1, 3, 88, 88, 1)
     variables = net.init(jax.random.PRNGKey(0), crops)
     feats = net.apply(variables, crops)
-    assert feats.shape == (1, 4, 32)
+    assert feats.shape == (1, 3, 512)
 
     loss_fn = LipReadingLoss(net, variables)
     assert float(loss_fn(crops, crops)) < 1e-5
-    other = jnp.asarray(rng.uniform(0, 1, (1, 4, 48, 48, 1)).astype(np.float32))
+    other = mouth_transform(
+        jnp.asarray(rng.uniform(0, 1, (1, 3, 96, 96)).astype(np.float32))
+    )
     assert float(loss_fn(crops, other)) > 0.0
     loss_l2 = LipReadingLoss(net, variables, metric="l2")
     assert float(loss_l2(crops, crops)) == 0.0
+    # masking out the mismatched frames lowers the loss (temporal conv
+    # receptive field keeps it nonzero)
+    mask = jnp.asarray([[1.0, 0.0, 0.0]])
+    half = jnp.concatenate([crops[:, :1], other[:, 1:]], axis=1)
+    assert float(loss_fn(half, crops, mask=mask)) < float(loss_fn(half, crops))
 
 
 def test_preprocessors():

@@ -48,3 +48,28 @@ def test_condition_exchange():
         np.asarray(out["expression"][4:]),
         np.asarray(batch["expression"])[np.asarray(perm)],
     )
+
+
+def test_condition_exchange_is_derangement():
+    """Reference asserts the exchanged conditions differ EVERYWHERE
+    (FaceFormer.py:252-253); a fixed point silently degrades the
+    disentangled loss to the plain one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avi_talking_tpu.train.eval_metrics import condition_exchange
+
+    for B in (2, 3, 4, 7):
+        for seed in range(20):
+            batch = {"raw": jnp.arange(B, dtype=jnp.float32),
+                     "expression": jnp.arange(B)}
+            out, perm = condition_exchange(batch, jax.random.PRNGKey(seed))
+            p = np.asarray(perm)
+            assert sorted(p.tolist()) == list(range(B))
+            assert (p != np.arange(B)).all(), (B, seed, p)
+            np.testing.assert_array_equal(
+                np.asarray(out["expression"][B:]), np.arange(B)[p]
+            )
+            np.testing.assert_array_equal(np.asarray(out["raw"][B:]),
+                                          np.arange(B, dtype=np.float32))
