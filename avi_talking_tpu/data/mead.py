@@ -94,6 +94,10 @@ class MeadEmocaDataset:
     # reference's missing `talkclip_text_generation.TalkClipDatabase.query`
     # (data_loader.py:275) — per-clip instruction captions for prior training.
     captions_path: Optional[str] = None
+    # decode per-frame detection crops into `img` (the clip window) and
+    # `ref_img` (leading frames of the identity's neutral clip), (T, H, W, 3)
+    # float32 in [-1, 1] — data_loader.py:255-348 + to_Tensor :229-238.
+    load_images: bool = False
 
     def __post_init__(self):
         self.index = build_index(self.root)
@@ -103,6 +107,7 @@ class MeadEmocaDataset:
                 self._captions = json.load(f)
         self.parser = MeadFilenameParser()
         self._rng = np.random.default_rng(self.seed)
+        self._by_name = {c["name"]: c for c in self.index}
         # neutral reference clip per identity (data_loader.py:149-155)
         self._neutral_by_id: Dict[str, str] = {}
         for clip in self.index:
@@ -187,13 +192,52 @@ class MeadEmocaDataset:
             item["text"] = caps[
                 int(self._rng.integers(0, len(caps))) if self.split == "train" else 0
             ]
+        if self.load_images:
+            img = self._load_image_window(clip, start, L)
+            if img is not None:
+                item["img"] = img
+                # reference frames: leading window of the identity's neutral
+                # clip (ref_start_idx=0, data_loader.py:337-348); falls back
+                # to the clip itself when no neutral exists (:260-262)
+                ref_clip = clip
+                neutral = item.get("neutral_clip")
+                if neutral and neutral in self._by_name:
+                    ref_clip = self._by_name[neutral]
+                ref = self._load_image_window(ref_clip, 0, L)
+                item["ref_img"] = ref if ref is not None else img
         return item
 
     def image_paths(self, i: int) -> List[str]:
         """Lazy detection-crop image paths (for render losses/FanEncoder)."""
-        clip = self.index[i]
+        return self._clip_image_paths(self.index[i])
+
+    @staticmethod
+    def _clip_image_paths(clip: Dict) -> List[str]:
+        """Per-frame detection crops, sorted to align with `frames`
+        (emoca_utils.get_detect_paths layouts: detections either directly
+        under a processed_* dir or one level deeper)."""
         frames_dir = os.path.dirname(clip["frames"][0])
-        cands = sorted(
-            glob.glob(os.path.join(os.path.dirname(frames_dir), "*", "detections", "*_000.png"))
-        )
-        return cands
+        for pat in (
+            os.path.join(frames_dir, "*", "detections", "*_000.png"),
+            os.path.join(frames_dir, "*", "*", "detections", "*_000.png"),
+            os.path.join(os.path.dirname(frames_dir), "*", "detections", "*_000.png"),
+        ):
+            cands = sorted(glob.glob(pat))
+            if cands:
+                return cands
+        return []
+
+    def _load_image_window(
+        self, clip: Dict, start: int, length: int
+    ) -> Optional[np.ndarray]:
+        """(length, H, W, 3) float32 [-1, 1] or None when crops are absent;
+        short clips pad by repeating the last frame."""
+        from ..viz.pngio import read_image_normalized
+
+        paths = self._clip_image_paths(clip)
+        if not paths:
+            return None
+        window = [
+            paths[min(start + k, len(paths) - 1)] for k in range(length)
+        ]
+        return np.stack([read_image_normalized(p) for p in window])

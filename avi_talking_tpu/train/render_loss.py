@@ -74,13 +74,20 @@ class PIRenderRenderLoss:
             rng = jax.random.PRNGKey(0)
         frame_idx = jax.random.randint(rng, (self.n_samples,), 0, T)
 
+        # accept both our batch names and the reference's item names
+        # (data_loader.py:374: img/ref_img)
+        images = batch["images"] if "images" in batch else batch["img"]
+        ref_images = (
+            batch["ref_images"] if "ref_images" in batch else batch["ref_img"]
+        )
+
         loss = 0.0
         for i in range(self.n_samples):
             idx = frame_idx[i]
             win = obtain_seq_index(idx, T)  # (27,)
             window = jnp.take(descr, win, axis=1)  # (B, 27, 59)
-            gt = jnp.take(batch["images"], idx, axis=1)  # (B, H, W, 3)
-            ref = jnp.take(batch["ref_images"], idx, axis=1)
+            gt = jnp.take(images, idx, axis=1)  # (B, H, W, 3)
+            ref = jnp.take(ref_images, idx, axis=1)
             out = self.generator.apply(self.generator_params, ref, window)
             mask = upper_face_mask_like(gt)[None]
             loss += self.weight_warp * self.perceptual_warp(

@@ -22,26 +22,7 @@ from ..core.projection import batch_orth_proj
 from .rasterizer import render_normal_maps
 
 
-def _write_png(path: str, img_u8: np.ndarray) -> None:
-    """Minimal PNG writer (no PIL/cv2 dependency)."""
-    import struct
-    import zlib
-
-    h, w, _ = img_u8.shape
-    raw = b"".join(
-        b"\x00" + img_u8[i].tobytes() for i in range(h)
-    )
-
-    def chunk(tag, data):
-        c = struct.pack(">I", len(data)) + tag + data
-        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-
-    header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", header))
-        f.write(chunk(b"IDAT", zlib.compress(raw)))
-        f.write(chunk(b"IEND", b""))
+from .pngio import write_png as _write_png  # noqa: E402 (kept name for callers)
 
 
 def save_frames_as_video(

@@ -44,6 +44,15 @@ def mead_root(tmp_path_factory):
             np.save(fd / "shape.npy", rng.standard_normal(100).astype(np.float32))
             np.save(fd / "cam.npy", rng.standard_normal(3).astype(np.float32))
         _write_wav(root / name / f"{name}.wav", seconds=30 / 25)
+        # detection crops aligned with frames (emoca_utils.get_detect_paths
+        # layout: EMOCA_v2_lr_mse_20/processed_*/detections/*_000.png)
+        from avi_talking_tpu.viz.pngio import write_png
+
+        det = frames / "processed_2025" / "detections"
+        det.mkdir(parents=True)
+        for i in range(30):
+            img = np.full((8, 8, 3), i * 8, np.uint8)  # frame index encoded
+            write_png(str(det / f"{i:06d}_000.png"), img)
     return str(root)
 
 
@@ -273,3 +282,73 @@ def test_vocaset_to_faceformer_vert_training(vocaset_root):
     out = model.apply(params, audio, T, emo, one_hot,
                       method=FaceFormerVert.predict)
     assert out.shape == (1, T, cfg.vertice_dim)
+
+
+def test_mead_dataset_loads_images(mead_root):
+    """img/ref_img tensors per item (data_loader.py:255-348): [-1,1] float,
+    windowed like the coeffs, ref from the identity's neutral clip."""
+    ds = MeadEmocaDataset(root=mead_root, seq_length=10, split="val",
+                          load_images=True)
+    # item 1 is the happy clip -> ref must come from the neutral clip
+    names = [c["name"] for c in ds.index]
+    happy = names.index("M003_front_happy_level3_002")
+    item = ds[happy]
+    assert item["img"].shape == (10, 8, 8, 3)
+    assert item["ref_img"].shape == (10, 8, 8, 3)
+    assert item["img"].dtype == np.float32
+    assert item["img"].min() >= -1.0 and item["img"].max() <= 1.0
+    # split=val -> window starts at frame 0; pixel value encodes frame index
+    def frame_of(x):  # inverse of (i*8)/255*2-1
+        return np.round((x + 1.0) / 2.0 * 255.0 / 8.0).astype(int)
+
+    got = frame_of(item["img"][:, 0, 0, 0])
+    np.testing.assert_array_equal(got, np.arange(10))
+    # ref_img is the leading window of the (same-pixel) neutral clip
+    np.testing.assert_array_equal(frame_of(item["ref_img"][:, 0, 0, 0]),
+                                  np.arange(10))
+    # train split: window offset must match between coeff and img
+    ds_tr = MeadEmocaDataset(root=mead_root, seq_length=10, split="train",
+                             load_images=True, seed=3)
+    it = ds_tr[happy]
+    offs = frame_of(it["img"][:, 0, 0, 0])
+    assert (np.diff(offs) == 1).all()
+
+
+def test_stage1_render_loss_consumes_decoded_images(mead_root):
+    """Stage-1 training wiring on REAL decoded PNGs: dataset -> batch ->
+    PIRenderRenderLoss gradient step (verdict item 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avi_talking_tpu.models.pirender import FaceGenerator, PIRenderConfig
+    from avi_talking_tpu.train.perceptual import PerceptualLoss, Vgg19Features
+    from avi_talking_tpu.train.render_loss import PIRenderRenderLoss
+
+    ds = MeadEmocaDataset(root=mead_root, seq_length=8, split="val",
+                          load_images=True)
+    items = [ds[i] for i in range(2)]
+    batch = {
+        k: jnp.asarray(np.stack([it[k] for it in items]))
+        for k in ("pose", "cam", "img", "ref_img")
+    }
+    cfg = PIRenderConfig.tiny()
+    gen = FaceGenerator(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 2, 8
+    gparams = gen.init(jax.random.PRNGKey(0), batch["ref_img"][:, 0],
+                       jnp.zeros((B, 27, cfg.coeff_nc)))
+    vgg = Vgg19Features(taps=("relu_1_1",))
+    vparams = vgg.init(jax.random.PRNGKey(1), batch["img"][:, 0])["params"]
+    pred = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    loss_fn = PIRenderRenderLoss(
+        generator=gen, generator_params=gparams,
+        perceptual_warp=PerceptualLoss(vgg, layers=("relu_1_1",), num_scales=1),
+        perceptual_final=PerceptualLoss(vgg, layers=("relu_1_1",), num_scales=1),
+        vgg_params=vparams,
+        coeff_mean=jnp.zeros(3), coeff_std=jnp.ones(3), n_samples=1,
+    )
+    loss, grad = jax.value_and_grad(
+        lambda p: loss_fn(p, batch, jax.random.PRNGKey(2))
+    )(pred)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert np.abs(np.asarray(grad)).sum() > 0
