@@ -98,9 +98,24 @@ class MeadEmocaDataset:
     # `ref_img` (leading frames of the identity's neutral clip), (T, H, W, 3)
     # float32 in [-1, 1] — data_loader.py:255-348 + to_Tensor :229-238.
     load_images: bool = False
+    # identity-level partition: None (all clips) or "train"/"val"/"test",
+    # the gender-stratified 32-identity split (data.splits.mead_identity_split,
+    # TalkingHeadWrapper.py:168-235). Independent of `split`, which controls
+    # windowing/caption sampling.
+    subject_split: Optional[str] = None
+    subject_split_seed: Optional[int] = None
 
     def __post_init__(self):
         self.index = build_index(self.root)
+        if self.subject_split is not None:
+            from .splits import identity_of, mead_identity_split
+
+            allowed = set(
+                mead_identity_split(seed=self.subject_split_seed)[self.subject_split]
+            )
+            self.index = [
+                c for c in self.index if identity_of(c["name"]) in allowed
+            ]
         self._captions = {}
         if self.captions_path and os.path.exists(self.captions_path):
             with open(self.captions_path) as f:

@@ -352,3 +352,38 @@ def test_stage1_render_loss_consumes_decoded_images(mead_root):
     )(pred)
     assert np.isfinite(float(loss)) and float(loss) > 0
     assert np.abs(np.asarray(grad)).sum() > 0
+
+
+def test_mead_identity_split():
+    """Gender-stratified 32-identity train split (TalkingHeadWrapper.py:168-235)."""
+    from avi_talking_tpu.data.splits import (
+        MEAD_IDENTITIES,
+        identity_of,
+        mead_identity_split,
+    )
+
+    s = mead_identity_split()
+    assert len(s["train"]) == 32  # 18 M + 14 W, the reference's train set
+    assert sum(i.startswith("M") for i in s["train"]) == 18
+    assert not (set(s["train"]) & set(s["val"])) and not (
+        set(s["train"]) & set(s["test"])
+    )
+    assert sorted(s["train"] + s["val"] + s["test"]) == sorted(MEAD_IDENTITIES)
+    # deterministic across calls; seeded variant reshuffles but keeps sizes
+    assert mead_identity_split() == mead_identity_split()
+    s2 = mead_identity_split(seed=1)
+    assert len(s2["train"]) == 32 and s2["train"] != s["train"]
+    assert mead_identity_split(seed=1) == mead_identity_split(seed=1)
+    assert identity_of("sub/M003_front_neutral_level1_001") == "M003"
+
+
+def test_mead_dataset_subject_split(mead_root):
+    ds_all = MeadEmocaDataset(root=mead_root)
+    # M003 is in the canonical training identities
+    ds_train = MeadEmocaDataset(root=mead_root, subject_split="train")
+    assert len(ds_train) == len(ds_all) == 2
+    ds_test = MeadEmocaDataset(root=mead_root, subject_split="test")
+    assert len(ds_test) == 0
+    # split-aware stats come from the filtered index
+    st = ds_train.compute_stats(max_clips=2)
+    assert st.mean.shape == (59,)
