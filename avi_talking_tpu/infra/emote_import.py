@@ -80,9 +80,16 @@ def emote_params_from_torch(
     if any(k.startswith("bert_decoder.") for k in dec):
         params["bert_decoder"] = tc.encoder_params(dec, "bert_decoder.", cfg.num_layers)
     params["decoder"] = tc.linear_params(dec, "decoder.")
-    sq_prefix = _first_prefix(dec, ("squasher_2.linear.", "squasher.linear."))
-    params["squasher"] = tc.linear_params(dec, sq_prefix)
 
+    sq = _squasher_params(dec, cfg)
+    params["squasher"] = sq["params"]
+    if sq["batch_stats"]:
+        stats["squasher"] = sq["batch_stats"]
+
+    # nesting covers both prior families: L2l VQ-VAE and FLINT VAE keep the
+    # decoder under motion_prior.motion_decoder (MotionPrior.py:131-136);
+    # leftover motion_encoder./motion_quantizer./preprocessor. keys from a
+    # checkpoint saved before discard_encoder are ignored.
     flint_sd = _strip(dec, _first_prefix(
         dec, ("motion_prior.motion_decoder.", "motion_prior.decoder.")
     ))
@@ -91,3 +98,45 @@ def emote_params_from_torch(
     stats["motion_prior"] = flint["batch_stats"]
 
     return {"params": params, "batch_stats": stats}
+
+
+def _squasher_params(dec: Mapping[str, Any], cfg: EmoteConfig) -> Dict[str, Any]:
+    """Both squasher placements and both types (FaceFormerDecoder.py:1040-1064):
+
+    - ``squasher_2.linear.*``  -> squash_after  + stack_linear (EMOTE release)
+    - ``squasher.linear.*``    -> squash_before + stack_linear
+    - ``squasher_2.squasher.N.{0,2}.*`` -> squash_after  + conv
+    - ``squasher.squasher.N.{0,2}.*``  -> squash_before + conv
+
+    The matching EmoteConfig (squash_type/squash_before) is validated so a
+    layout/config mismatch fails loudly instead of mis-grafting.
+    """
+    for base, before in (("squasher_2.", False), ("squasher.", True)):
+        if any(k.startswith(base + "linear.") for k in dec):
+            kind = "stack_linear"
+        elif any(k.startswith(base + "squasher.") for k in dec):
+            kind = "conv"
+        else:
+            continue
+        if cfg.squash_type != kind or cfg.squash_before != before:
+            raise ValueError(
+                f"checkpoint squasher is {kind} (squash_before={before}) but "
+                f"EmoteConfig has squash_type={cfg.squash_type!r} "
+                f"squash_before={cfg.squash_before}"
+            )
+        if kind == "stack_linear":
+            return {"params": tc.linear_params(dec, base + "linear."),
+                    "batch_stats": {}}
+        p: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
+        for i in range(cfg.flint.quant_factor):
+            p[f"stage{i}_conv"] = tc.conv1d_params(dec, f"{base}squasher.{i}.0.")
+            bn = tc.batchnorm1d_params(dec, f"{base}squasher.{i}.2.")
+            p[f"stage{i}_bn"] = bn["params"]
+            s[f"stage{i}_bn"] = bn["batch_stats"]
+        return {"params": p, "batch_stats": s}
+    raise KeyError(
+        "no squasher weights found (expected squasher_2.linear/squasher.linear"
+        "/[squasher|squasher_2].squasher.N); keys look like "
+        f"{sorted(dec)[:5]}"
+    )

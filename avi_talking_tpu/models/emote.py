@@ -39,6 +39,38 @@ from .flint import FlintConfig, FlintDecoder
 from ..ops.transformer import TransformerEncoder
 
 
+class ConvSquasher(nn.Module):
+    """create_squasher (L2lMotionPrior.py:107-122): (B, T, F) -> (B, T/2^q, out).
+
+    Stage 0: Conv1d(k5, s2, replicate pad) + LeakyReLU(0.2) + BatchNorm1d;
+    stages 1..q-1: Conv1d(k5, s1) + LeakyReLU + BatchNorm1d + MaxPool1d(2).
+    Frozen-BN by default (the reference squashers train their BNs, but the
+    imported-checkpoint path always runs eval-mode stats).
+    """
+
+    out_dim: int
+    quant_factor: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        for i in range(self.quant_factor):
+            pad = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+            x = nn.Conv(
+                self.out_dim, (5,), strides=2 if i == 0 else 1,
+                padding="VALID", name=f"stage{i}_conv", **dd,
+            )(pad)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.BatchNorm(
+                use_running_average=not train, name=f"stage{i}_bn", **dd
+            )(x)
+            if i > 0:
+                x = nn.max_pool(x, (2,), strides=(2,))
+        return x
+
+
 @dataclasses.dataclass(frozen=True)
 class EmoteConfig:
     feature_dim: int = 128
@@ -47,6 +79,11 @@ class EmoteConfig:
     activation: str = "gelu"
     dropout: float = 0.25
     style_op: str = "add"  # add | cat
+    # squasher placement/type (FaceFormerDecoder.py:1040-1064 + :953-985):
+    # EMOTE (bertprior_wild.yaml) = squash_after + stack_linear; the
+    # bertprior.yaml variant = squash_before + conv
+    squash_type: str = "stack_linear"  # stack_linear | conv
+    squash_before: bool = False  # True: squash pre-bert (on feature_dim)
     n_shape: int = 300
     n_exp: int = 50
     flint: FlintConfig = dataclasses.field(default_factory=FlintConfig)
@@ -107,8 +144,18 @@ class EmoteTalkingHead(nn.Module):
         else:
             self.bert_decoder = None
         self.decoder = nn.Dense(c.flint.bottleneck_dim, name="decoder", **dd)
-        # squash_after / stack_linear (FaceFormerDecoder.py:967-985)
-        self.squasher = nn.Dense(c.flint.bottleneck_dim, name="squasher", **dd)
+        # squasher placement + type (FaceFormerDecoder.py:1040-1064)
+        sq_dim = d if c.squash_before else c.flint.bottleneck_dim
+        if c.squash_type == "stack_linear":
+            self.squasher = nn.Dense(sq_dim if c.squash_before else
+                                     c.flint.bottleneck_dim,
+                                     name="squasher", **dd)
+        elif c.squash_type == "conv":
+            self.squasher = ConvSquasher(
+                sq_dim, c.flint.quant_factor, name="squasher", **dd
+            )
+        else:
+            raise ValueError(c.squash_type)
         self.motion_prior = FlintDecoder(c.flint, name="motion_prior", **dd)
 
     # ----- style ---------------------------------------------------------
@@ -158,16 +205,22 @@ class EmoteTalkingHead(nn.Module):
         else:
             raise ValueError(c.style_op)
 
+        def squash(x):
+            if c.squash_type == "conv":
+                return self.squasher(x)
+            return self.squasher(
+                x.reshape(B, x.shape[1] // lfs, lfs * x.shape[-1])
+            )
+
+        if c.squash_before:  # FaceFormerDecoder.py:1195-1200 (_decode order)
+            styled = squash(styled)
         if self.bert_decoder is not None:
             decoded = self.bert_decoder(styled, deterministic=deterministic)
         else:
             decoded = styled
         decoded = self.decoder(decoded)  # (B, T, bottleneck) [post_bug_fix=True]
 
-        # stack_linear squash to latent frame rate
-        latents = self.squasher(
-            decoded.reshape(B, T // lfs, lfs * decoded.shape[-1])
-        )
+        latents = decoded if c.squash_before else squash(decoded)
         out = self.motion_prior(latents)  # (B, T, 53)
         exp, jaw = self.motion_prior.split_exp_jaw(out)
 

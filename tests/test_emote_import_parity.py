@@ -18,8 +18,16 @@ from avi_talking_tpu.models.emote import EmoteConfig, EmoteTalkingHead
 transformers = pytest.importorskip("transformers")
 
 
-def _build_torch_emote(cfg: EmoteConfig):
-    """torch modules named like the inferno EMOTE checkpoint layout."""
+def _build_torch_emote(cfg: EmoteConfig, squash: str = "stacklinear_after",
+                       prefix: str = "talking_head_model.",
+                       vq_leftovers: bool = False):
+    """torch modules named like the inferno EMOTE checkpoint layout.
+
+    ``squash``: "stacklinear_after" (EMOTE release, squasher_2.linear) or
+    "conv_before" (bertprior.yaml variant, squasher.squasher conv stack).
+    ``vq_leftovers`` adds motion_encoder/motion_quantizer/preprocessor keys
+    as a VQ-VAE checkpoint saved before discard_encoder would carry.
+    """
     w = cfg.wav2vec2
     hf_cfg = transformers.Wav2Vec2Config(
         conv_dim=list(w.conv_dim), conv_kernel=list(w.conv_kernel),
@@ -45,7 +53,31 @@ def _build_torch_emote(cfg: EmoteConfig):
     )
     bert = tnn.TransformerEncoder(bert_layer, num_layers=cfg.num_layers)
     decoder = tnn.Linear(d, fl.bottleneck_dim)
-    squasher = tnn.Linear(fl.bottleneck_dim * fl.latent_frame_size, fl.bottleneck_dim)
+    if squash == "stacklinear_after":
+        squasher = tnn.Linear(fl.bottleneck_dim * fl.latent_frame_size,
+                              fl.bottleneck_dim)
+    else:  # conv_before: create_squasher (L2lMotionPrior.py:107-122)
+        stages = [tnn.Sequential(
+            tnn.Conv1d(d, d, 5, stride=2, padding=2, padding_mode="replicate"),
+            tnn.LeakyReLU(0.2, True), tnn.BatchNorm1d(d))]
+        for _ in range(1, fl.quant_factor):
+            stages.append(tnn.Sequential(
+                tnn.Conv1d(d, d, 5, stride=1, padding=2, padding_mode="replicate"),
+                tnn.LeakyReLU(0.2, True), tnn.BatchNorm1d(d), tnn.MaxPool1d(2)))
+
+        class _ConvSquasher(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.squasher = tnn.Sequential(*stages)
+
+            def forward(self, x):  # (B, T, F)
+                return self.squasher(x.transpose(1, 2)).transpose(1, 2)
+
+        squasher = _ConvSquasher().eval()
+        for mod in squasher.modules():
+            if isinstance(mod, tnn.BatchNorm1d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.7, 1.4)
 
     class FlintDec(tnn.Module):
         def __init__(self):
@@ -91,10 +123,21 @@ def _build_torch_emote(cfg: EmoteConfig):
         sd[f"talking_head_model.sequence_decoder.bert_decoder.{k}"] = v
     for k, v in decoder.state_dict().items():
         sd[f"talking_head_model.sequence_decoder.decoder.{k}"] = v
+    sq_base = ("sequence_decoder.squasher_2.linear."
+               if squash == "stacklinear_after"
+               else "sequence_decoder.squasher.")
     for k, v in squasher.state_dict().items():
-        sd[f"talking_head_model.sequence_decoder.squasher_2.linear.{k}"] = v
+        sd[f"talking_head_model.{sq_base}{k}"] = v
     for k, v in flint.state_dict().items():
         sd[f"talking_head_model.sequence_decoder.motion_prior.motion_decoder.{k}"] = v
+    if vq_leftovers:
+        # keys a VQ-VAE motion-prior checkpoint retains (MotionPrior.py:131-136)
+        sd["talking_head_model.sequence_decoder.motion_prior.motion_encoder.squasher.0.0.weight"] = torch.zeros(4, 4, 5)
+        sd["talking_head_model.sequence_decoder.motion_prior.motion_quantizer.codebook.weight"] = torch.zeros(16, fl.bottleneck_dim)
+        sd["talking_head_model.sequence_decoder.motion_prior.preprocessor.mean"] = torch.zeros(3)
+        sd["talking_head_model.preprocessor.some_buffer"] = torch.zeros(1)
+    if prefix != "talking_head_model.":
+        sd = {prefix + k[len("talking_head_model."):]: v for k, v in sd.items()}
 
     mods = dict(audio=audio, seq_lin=seq_lin, obj_map=obj_map, bert=bert,
                 decoder=decoder, squasher=squasher, flint=flint)
@@ -137,3 +180,72 @@ def test_full_emote_forward_parity():
     out = head.apply(variables, jnp.asarray(frames), cond)
     got = np.concatenate([np.asarray(out["exp"]), np.asarray(out["jaw"])], axis=-1)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_full_emote_forward_parity_conv_before():
+    """bertprior.yaml variant: squash_before + ConvSquasher
+    (FaceFormerDecoder.py:1040-1047 squasher placement, :953-965 conv type,
+    L2lMotionPrior.py:107-122 layout)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        EmoteConfig.tiny(), squash_type="conv", squash_before=True
+    )
+    sd, m = _build_torch_emote(cfg, squash="conv_before")
+    fl = cfg.flint
+
+    B, T = 2, 8
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((B, T, 640)).astype(np.float32)
+    cond = StyleCondition.make(
+        emotion_idx=3, intensity_idx=1, identity_idx=2, batch=B,
+        n_identities=4, shape_dim=cfg.n_shape,
+    )
+    with torch.no_grad():
+        flat = torch.from_numpy(frames.reshape(B, -1))
+        feats = m["audio"].feature_extractor(flat).transpose(1, 2)
+        feats = TF.interpolate(feats.transpose(1, 2), size=T, mode="linear",
+                               align_corners=True).transpose(1, 2)
+        hid, _ = m["audio"].feature_projection(feats)
+        hid = m["audio"].encoder(hid).last_hidden_state
+        hid = m["seq_lin"](hid)
+        style = m["obj_map"](torch.from_numpy(np.asarray(cond.concat(), np.float32)))
+        styled = hid + style[:, None]
+        # _decode order with squash_before (FaceFormerDecoder.py:1195-1207)
+        styled = m["squasher"](styled)
+        dec = m["bert"](styled)
+        dec = m["decoder"](dec)
+        ref = m["flint"](dec).numpy()
+
+    head = EmoteTalkingHead(cfg)
+    variables = emote_params_from_torch(sd, cfg)
+    out = head.apply(variables, jnp.asarray(frames), cond)
+    got = np.concatenate([np.asarray(out["exp"]), np.asarray(out["jaw"])], axis=-1)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_import_tolerates_vq_leftovers_and_bare_prefix():
+    """Keys a VQ-VAE checkpoint retains (motion_encoder/quantizer/
+    preprocessor) must be ignored, and a bare (non-Lightning-prefixed)
+    state dict must import identically."""
+    cfg = EmoteConfig.tiny()
+    sd_plain, _ = _build_torch_emote(cfg)
+    sd_left, _ = _build_torch_emote(cfg, vq_leftovers=True)
+    sd_bare, _ = _build_torch_emote(cfg, prefix="")
+    v_plain = emote_params_from_torch(sd_plain, cfg)
+    v_left = emote_params_from_torch(sd_left, cfg)
+    v_bare = emote_params_from_torch(sd_bare, cfg)
+    for a, b in ((v_left, v_plain), (v_bare, v_plain)):
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_import_squasher_config_mismatch_raises():
+    cfg = EmoteConfig.tiny()  # stack_linear config
+    sd, _ = _build_torch_emote(cfg, squash="conv_before")
+    with pytest.raises(ValueError, match="squasher"):
+        emote_params_from_torch(sd, cfg)
