@@ -67,6 +67,9 @@ class PriorTrainingConfig:
     val_every: int = 0
     val_steps: int = 4  # batches per validation pass
     resume: bool = False  # restore <ckpt_dir>/last before training
+    # stop after N consecutive validations without val-loss improvement
+    # (0 = off; training_pass.py:309-315 EarlyStopping semantics)
+    early_stop_patience: int = 0
 
 
 def train_prior(
@@ -77,6 +80,8 @@ def train_prior(
     mesh=None,
     seed: int = 0,
     val_batches=None,  # Callable[[], Iterator[batch]] -- re-iterable val split
+    run_dir: Optional[str] = None,  # create/use a managed run dir (cfg
+    # snapshot + logs/ + checkpoints/; infra.run_dir)
 ) -> Dict[str, Any]:
     """Run the prior training loop; returns final state + last metrics.
 
@@ -88,6 +93,13 @@ def train_prior(
     checkpointing (train_diffusion_prior.py:517-624). ``cfg.resume``
     restores params/opt/step/best from ``last``.
     """
+    if run_dir is not None:
+        from ..infra.run_dir import snapshot_config
+
+        os.makedirs(run_dir, exist_ok=True)
+        snapshot_config(run_dir, cfg)
+        logdir = logdir or os.path.join(run_dir, "logs")
+        ckpt_dir = ckpt_dir or os.path.join(run_dir, "checkpoints")
     if logdir:
         set_summary_writer(logdir)
     if batches is None:
@@ -178,6 +190,10 @@ def train_prior(
         )
         return val
 
+    from ..infra.run_dir import EarlyStopping
+
+    stopper = (EarlyStopping(patience=cfg.early_stop_patience)
+               if cfg.early_stop_patience else None)
     metrics: Dict[str, Any] = {}
     val_history = []
     t0 = time.time()
@@ -207,6 +223,12 @@ def train_prior(
             if jax.process_index() == 0:
                 print(f"  val@{i}: loss={val['loss']:.4f} "
                       f"top1={val['top1_fwd']:.3f} (best {best_val_loss:.4f})")
+            if stopper is not None and stopper.update(val["loss"]):
+                if jax.process_index() == 0:
+                    print(f"early stop at step {i} "
+                          f"({stopper.bad_evals} validations without "
+                          f"improvement over {stopper.best:.4f})")
+                break
     if ckpt_dir and not cfg.val_every:
         ckpt_lib.save_checkpoint(ckpt_dir, {"params": state.params,
                                             "step": state.step})

@@ -108,3 +108,68 @@ def test_brain_importer_matches_torch_layout():
         ref_proj = projector(ref.reshape(len(ref), -1, out_dim))
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(proj), ref_proj.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_run_dir_and_config_snapshot(tmp_path):
+    """Run-dir management (train_talking_head.py:432-453, :503-509): timestamped
+    dir, cfg snapshot, .bak backup on re-snapshot."""
+    import dataclasses
+
+    from avi_talking_tpu.infra.run_dir import (
+        create_run_dir,
+        load_config_snapshot,
+        snapshot_config,
+    )
+
+    @dataclasses.dataclass
+    class Cfg:
+        lr: float = 1e-4
+        name: str = "exp"
+
+    rd = create_run_dir(tmp_path, "myexp", Cfg())
+    assert rd.name.endswith("_myexp") and (rd / "checkpoints").is_dir()
+    snap = load_config_snapshot(rd)
+    assert snap == {"lr": 1e-4, "name": "exp"}
+    snapshot_config(rd, Cfg(lr=5e-5))
+    assert (rd / "cfg.json.bak").exists()
+    assert load_config_snapshot(rd)["lr"] == 5e-5
+
+
+def test_early_stopping():
+    from avi_talking_tpu.infra.run_dir import EarlyStopping
+
+    es = EarlyStopping(patience=2)
+    assert not es.update(1.0)
+    assert not es.update(0.9)   # improved
+    assert not es.update(0.95)  # bad 1
+    assert es.update(0.95)      # bad 2 -> stop
+    assert es.stopped
+
+
+def test_train_prior_early_stop_and_run_dir(tmp_path):
+    """Early stopping halts before total_steps on a stagnant val metric, and
+    run_dir wires logs/ + checkpoints/ + cfg snapshot."""
+    import numpy as np
+
+    from avi_talking_tpu.train.driver import PriorTrainingConfig, train_prior
+
+    def constant_val():
+        # deterministic constant stream -> val loss can't improve after the
+        # first eval (well, it can slightly; patience=1 stops fast anyway)
+        def gen():
+            rng = np.random.default_rng(0)
+            for _ in range(2):
+                yield {"voxel": np.zeros((4, 24), np.float32),
+                       "style_target": rng.standard_normal((4, 16)).astype(np.float32)}
+        return gen()
+
+    cfg = PriorTrainingConfig(
+        clip_size=16, in_dim=24, depth=1, heads=2, dim_head=8, timesteps=5,
+        brain_hidden=32, total_steps=200, batch_size=4, log_every=1000,
+        val_every=5, val_steps=2, early_stop_patience=1,
+    )
+    rd = tmp_path / "run"
+    res = train_prior(cfg, run_dir=str(rd), val_batches=constant_val)
+    assert int(res["state"].step) < 200  # stopped early
+    assert (rd / "cfg.json").exists()
+    assert (rd / "checkpoints" / "last").is_dir()
