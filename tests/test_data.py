@@ -387,3 +387,42 @@ def test_mead_dataset_subject_split(mead_root):
     # split-aware stats come from the filtered index
     st = ds_train.compute_stats(max_clips=2)
     assert st.mean.shape == (59,)
+
+
+def test_talkclip_caption_generator():
+    """Offline TalkClip replacement (data_loader.py:21,144-145,273-275):
+    deterministic per clip, fixture-style surface form, diversity via seed."""
+    from avi_talking_tpu.data.caption_gen import TalkClipGenerator
+
+    gen = TalkClipGenerator(seed=0)
+    c1 = gen.query("M003_front_happy_level2_001")
+    assert c1 == gen.query("M003_front_happy_level2_001")  # deterministic
+    assert c1.startswith("A ") and "person speaks with" in c1
+    assert c1.endswith(".")
+    # intensity changes the adverbs; emotion changes the AU set
+    c3 = gen.query("M003_front_happy_level3_001")
+    assert c3 != c1
+    sad = gen.query("M003_front_sad_level2_001")
+    assert sad != c1
+    neutral = gen.query("M003_front_neutral_level1_001")
+    assert "relaxed" in neutral
+    # seed diversity for augmentation
+    assert TalkClipGenerator(seed=1).query("M003_front_happy_level2_001") != c1
+    caps = gen.build_captions(["M003_front_happy_level2_001"], per_clip=3)
+    assert len(set(caps["M003_front_happy_level2_001"])) >= 2
+
+
+def test_talkclip_captions_feed_dataset(mead_root, tmp_path):
+    """Generated captions flow through MeadEmocaDataset(captions_path=...)."""
+    import json as _json
+
+    from avi_talking_tpu.data.caption_gen import TalkClipGenerator
+
+    ds0 = MeadEmocaDataset(root=mead_root)
+    names = [c["name"] for c in ds0.index]
+    caps = TalkClipGenerator(seed=0).build_captions(names, per_clip=2)
+    p = tmp_path / "caps.json"
+    p.write_text(_json.dumps(caps))
+    ds = MeadEmocaDataset(root=mead_root, captions_path=str(p), split="val")
+    item = ds[0]
+    assert "text" in item and item["text"].startswith("A ")
