@@ -1,16 +1,21 @@
-"""Headline benchmark: real-time factor of wav -> FLAME coeffs + meshes.
+"""Benchmarks: the full BASELINE.json metric set, one JSON line per metric.
 
-Runs the full production path on one TPU chip in bfloat16:
-  audio frames -> wav2vec2-base (95M) -> EMOTE decoder -> FLINT -> FLAME
-  (full-size: 5023 vertices, 300 shape / 50 exp PCA)
-plus the 100-step diffusion-prior style sample, and reports the end-to-end
-real-time factor per second of audio.
+Headline (FIRST line, what BENCH_r*.json records): real-time factor of
+wav -> FLAME coeffs + meshes — the full production path on one TPU chip in
+bfloat16 (audio frames -> wav2vec2-base 95M -> EMOTE decoder -> FLINT ->
+FLAME 5023 verts, plus the 100-step diffusion-prior style sample fused into
+the same dispatch).
+
+Additional lines (verdict r1 item 7 — previously prose in CLAUDE.md):
+  - request_latency_ms_p50 / _p99: blocking per-request latency, 8 s clips
+  - batched_serving_throughput: s_audio per s_compute at B=16
+  - train_step_frames_per_s + train_mfu_pct: jitted EMOTE geometric train
+    step (B=8, T=200, bf16 compute) with a 6*N*tokens FLOP estimate
+    against the v5e bf16 peak (197 TFLOP/s)
 
 Baseline: the reference publishes no speed numbers (BASELINE.md); the
 driver's north-star target is RTF < 0.05 on one v5e chip.
 ``vs_baseline`` = target_rtf / measured_rtf (>1 means faster than target).
-
-Prints ONE JSON line.
 """
 
 import json
@@ -21,6 +26,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
+
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _emit(metric, value, unit, vs_baseline=None):
+    line = {"metric": metric, "value": value, "unit": unit}
+    if vs_baseline is not None:
+        line["vs_baseline"] = vs_baseline
+    print(json.dumps(line), flush=True)
 
 
 def main():
@@ -64,33 +78,97 @@ def main():
     # fused end-to-end: style sample + animate in ONE dispatch
     @jax.jit
     def fused(params, pparams, audio, rng):
-        st = prior.p_sample_loop(pparams, (1, 1, 128),
-                                 jnp.zeros((1, 128), dtype), rng)
+        st = prior.p_sample_loop(pparams, (audio.shape[0], 1, 128),
+                                 jnp.zeros((audio.shape[0], 128), dtype), rng)
         return head.apply(params, audio,
                           style_emb=st[:, 0, : cfg.feature_dim].astype(dtype))
 
     out = fused(params, pparams, audio, jax.random.PRNGKey(0))
     jax.block_until_ready(out)
 
+    # ---- headline RTF (FIRST LINE) --------------------------------------
     n = 10
     t0 = time.perf_counter()
     for i in range(n):
         out = fused(params, pparams, audio, jax.random.PRNGKey(i))
     jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - t0) / n
-
-    rtf = elapsed / seconds
+    rtf = (time.perf_counter() - t0) / n / seconds
     target_rtf = 0.05
-    print(
-        json.dumps(
-            {
-                "metric": "rtf_wav_to_mesh_1chip",
-                "value": round(rtf, 6),
-                "unit": "s_compute_per_s_audio",
-                "vs_baseline": round(target_rtf / rtf, 2),
-            }
-        )
-    )
+    _emit("rtf_wav_to_mesh_1chip", round(rtf, 6), "s_compute_per_s_audio",
+          round(target_rtf / rtf, 2))
+
+    # ---- blocking request latency p50/p99 --------------------------------
+    lat = []
+    for i in range(50):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fused(params, pparams, audio, jax.random.PRNGKey(i)))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    _emit("request_latency_ms_p50", round(float(np.percentile(lat, 50)), 2),
+          "ms_per_8s_clip")
+    _emit("request_latency_ms_p99", round(float(np.percentile(lat, 99)), 2),
+          "ms_per_8s_clip")
+
+    # ---- batched serving throughput (B=16, one dispatch) ------------------
+    B = 16
+    audio_b = jnp.broadcast_to(audio, (B, T, 640))
+    out = fused(params, pparams, audio_b, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = fused(params, pparams, audio_b, jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    per_batch = (time.perf_counter() - t0) / n
+    _emit("batched_serving_throughput_b16", round(B * seconds / per_batch, 1),
+          "s_audio_per_s_compute")
+
+    # ---- train-step throughput + MFU estimate ----------------------------
+    import optax
+
+    from avi_talking_tpu.models.conditioning import StyleCondition
+    from avi_talking_tpu.train.talking_head import TalkingHeadTrainer
+
+    # geometric losses only; bf16 compute head WITHOUT flame (training
+    # supervises coeffs; keeps the step comparable across rounds)
+    train_head = EmoteTalkingHead(cfg, dtype=dtype)
+    Bt = 8
+    rngs = np.random.default_rng(1)
+    batch = {
+        "raw_audio": jnp.asarray(
+            rngs.standard_normal((Bt, T, 640)).astype(np.float32)),
+        "expression": jnp.asarray(np.eye(9, dtype=np.float32)[
+            rngs.integers(0, 9, Bt)]),
+        "intensity": jnp.asarray(np.eye(3, dtype=np.float32)[
+            rngs.integers(0, 3, Bt)]),
+        "identity": jnp.asarray(np.eye(32, dtype=np.float32)[
+            rngs.integers(0, 32, Bt)]),
+        "shape": jnp.zeros((Bt, cfg.n_shape)),
+        "gt_exp": jnp.asarray(
+            rngs.standard_normal((Bt, T, cfg.n_exp)).astype(np.float32) * 0.1),
+        "gt_jaw": jnp.asarray(
+            rngs.standard_normal((Bt, T, 3)).astype(np.float32) * 0.05),
+    }
+    cond = StyleCondition(batch["expression"], batch["intensity"],
+                          batch["identity"], batch["shape"])
+    tparams = train_head.init(jax.random.PRNGKey(0), batch["raw_audio"], cond)
+    tx = optax.adamw(1e-4)
+    trainer = TalkingHeadTrainer(head=train_head, tx=tx)
+    step = trainer.jitted_train_step()
+    opt = tx.init(tparams)
+    tparams, opt, m = step(tparams, opt, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(m)
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        tparams, opt, m = step(tparams, opt, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(m)
+    step_s = (time.perf_counter() - t0) / n
+    frames_per_s = Bt * T / step_s
+    _emit("train_step_frames_per_s", round(frames_per_s, 1), "frames_per_s")
+    n_params = sum(x.size for x in jax.tree.leaves(tparams))
+    flops = 6.0 * n_params * Bt * T  # fwd+bwd estimate per step
+    _emit("train_mfu_pct", round(100.0 * flops / step_s / V5E_BF16_PEAK_FLOPS, 2),
+          "pct_of_v5e_bf16_peak")
 
 
 if __name__ == "__main__":
