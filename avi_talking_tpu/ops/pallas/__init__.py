@@ -1,2 +1,2 @@
 from .attention import fused_bias_attention, pallas_available
-from .rasterize import rasterize_tiles_pallas
+from .rasterize import rasterize_tiles_visibility

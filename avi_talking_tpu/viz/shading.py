@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .rasterizer import compute_vertex_normals, rasterize_batch
+from .rasterizer import compute_vertex_normals, rasterize_auto
 
 # DECA's SH constant factors (pi*c, order 0..2)
 _SH_CONST = np.asarray(
@@ -119,7 +119,8 @@ def render_shaded(
     """DECA render_shape equivalent: grey SH-lit geometry images."""
     B = vertices_ndc.shape[0]
     normals = compute_vertex_normals(vertices_ndc, faces)
-    imgs, mask = rasterize_batch(vertices_ndc, faces, normals, height, width, chunk)
+    imgs, mask = rasterize_auto(vertices_ndc, faces, normals, height, width,
+                                chunk=chunk)
     n = imgs / jnp.maximum(jnp.linalg.norm(imgs, axis=-1, keepdims=True), 1e-6)
     if sh_coeff is None:
         sh_coeff = jnp.broadcast_to(jnp.asarray(DEFAULT_LIGHT)[None], (B, 9, 3))

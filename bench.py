@@ -170,6 +170,39 @@ def main():
     _emit("train_mfu_pct", round(100.0 * flops / step_s / V5E_BF16_PEAK_FLOPS, 2),
           "pct_of_v5e_bf16_peak")
 
+    # ---- Pallas rasterizer vs XLA binned (render-loss hot path) ----------
+    from avi_talking_tpu.core.projection import batch_orth_proj
+    from avi_talking_tpu.viz.rasterizer import (
+        rasterize_binned,
+        rasterize_binned_pallas,
+    )
+
+    fcs = jnp.asarray(assets.faces)
+    proj = batch_orth_proj(
+        jnp.asarray(assets.v_template)[None], jnp.asarray([[8.0, 0.0, -0.01]])
+    )[0]
+    ndc = jnp.stack([proj[:, 0], -proj[:, 1], -proj[:, 2]], axis=-1)
+    nrm = jnp.asarray(
+        np.random.default_rng(2).standard_normal((5023, 3)).astype(np.float32))
+
+    def t_raster(fn, n=20):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    t_x = t_raster(jax.jit(
+        lambda: rasterize_binned(ndc, fcs, nrm, 256, 256, tile=32, cap=1024)))
+    t_p = t_raster(jax.jit(
+        lambda: rasterize_binned_pallas(ndc, fcs, nrm, 256, 256, tile=32,
+                                        cap=1024)))
+    _emit("raster_256_xla_binned_ms", round(t_x, 2), "ms_per_frame")
+    _emit("raster_256_pallas_ms", round(t_p, 2), "ms_per_frame",
+          round(t_x / t_p, 2))
+
 
 if __name__ == "__main__":
     main()
