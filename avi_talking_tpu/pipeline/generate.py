@@ -371,6 +371,12 @@ class AviTalkingPipeline:
         dispatch per length bucket. Clips are framed, padded to the bucket
         boundary (so each bucket compiles once) and unpadded on return.
 
+        Note on randomness: ONE PRNGKey(seed) covers the whole batch — the
+        prior draws a single noise tensor across the batch, so the clips'
+        style samples are jointly (not independently) seeded. Fine for
+        serving; for diversity measurements sample each style with its own
+        seed (cli diversity does).
+
         Padded frames are masked out of the wav2vec2 self-attention
         (``valid_len``). Note the base extractor's group norm still sees the
         padded length, so bucket-padded outputs are very close but not
