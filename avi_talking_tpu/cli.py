@@ -7,6 +7,7 @@ Subcommands:
              (train_diffusion_prior.py:655-774)
   bench      run the single-chip RTF benchmark
   train-prior diffusion-prior training loop (synthetic or real batches)
+  reconstruct EMOCA-style single-image -> FLAME codes + geometry render
   stats      regenerate Mead coefficient statistics from a dataset root
 
 Checkpoints/assets are optional: without them the models run random-init
@@ -122,6 +123,67 @@ def cmd_stats(args) -> int:
     return 0
 
 
+
+
+
+def cmd_reconstruct(args) -> int:
+    """EMOCA-style single-image reconstruction (the reference's EMOCA demo
+    apps, gdl_apps/EMOCA: image -> coarse codes -> FLAME -> shaded render).
+
+    Runs the full compute path; with imported EMOCA weights
+    (models.emoca.emoca_encoder_params_from_torch fed via --checkpoint) the
+    codes are the real reconstruction, otherwise a random-init smoke.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .core import FlameModel
+    from .core.assets import default_assets_path, load_flame_assets, synthetic_assets
+    from .core.projection import batch_orth_proj
+    from .models.emoca import EmocaEncoder
+    from .viz.pngio import read_image_normalized, write_png
+    from .viz.shading import render_shaded
+
+    img = read_image_normalized(args.image)  # (H, W, 3) [-1, 1]
+    x = jnp.asarray(img)[None] * 0.5 + 0.5  # encoder expects [0, 1]
+
+    n_shape, n_exp = (8, 6) if args.tiny else (100, 50)
+    enc = EmocaEncoder()  # full-size DECA/EMOCA code layout (236 + 50)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    if args.checkpoint:
+        from .infra.checkpoint import restore_checkpoint
+
+        variables = restore_checkpoint(args.checkpoint, target=variables)
+    codes = enc.apply(variables, x)
+    if args.tiny:  # slice onto the synthetic-asset PCA dims
+        codes = {**codes, "shape": codes["shape"][:, :n_shape],
+                 "exp": codes["exp"][:, :n_exp]}
+
+    npz = args.flame_npz or default_assets_path()
+    if args.tiny or not npz:
+        assets = synthetic_assets(n_shape=n_shape, n_exp=n_exp)
+    else:
+        assets = load_flame_assets(npz, n_shape, n_exp)
+    flame = FlameModel(assets, n_shape=n_shape, n_exp=n_exp)
+    verts = flame.vertices_only(
+        codes["shape"], codes["exp"],
+        jnp.concatenate([jnp.zeros_like(codes["pose"][:, :3]),
+                         codes["pose"][:, 3:]], axis=1),
+    )
+    proj = batch_orth_proj(verts, jnp.asarray([[8.0, 0.0, -0.01]]))
+    ndc = jnp.stack([proj[..., 0], -proj[..., 1], -proj[..., 2]], axis=-1)
+    shaded = render_shaded(ndc, assets.faces, args.size, args.size)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.image))[0]
+    np.savez(os.path.join(args.out_dir, f"{base}_codes.npz"),
+             **{k: np.asarray(v) for k, v in codes.items()},
+             vertices=np.asarray(verts))
+    write_png(os.path.join(args.out_dir, f"{base}_geometry.png"),
+              (np.clip(np.asarray(shaded[0]), 0, 1) * 255).astype(np.uint8))
+    print(f"wrote {base}_codes.npz + {base}_geometry.png to {args.out_dir}")
+    return 0
 
 
 def cmd_train_prior(args) -> int:
@@ -321,6 +383,15 @@ def main(argv=None) -> int:
     tf.add_argument("--ckpt-dir", default=None)
     common(tf)
     tf.set_defaults(fn=cmd_train_faceformer)
+
+    rc = sub.add_parser("reconstruct", help="EMOCA single-image reconstruction")
+    rc.add_argument("--image", required=True, help="input PNG")
+    rc.add_argument("--out-dir", default="out")
+    rc.add_argument("--size", type=int, default=256)
+    rc.add_argument("--tiny", action="store_true")
+    rc.add_argument("--flame-npz", default=None)
+    rc.add_argument("--checkpoint", default=None)
+    rc.set_defaults(fn=cmd_reconstruct)
 
     t = sub.add_parser("train-prior", help="diffusion prior training loop")
     t.add_argument("--steps", type=int, default=500)

@@ -156,3 +156,23 @@ def test_generate_ddim_sampler(pipe):
     np.testing.assert_allclose(a["style_emb"], b["style_emb"])
     assert not np.allclose(a["style_emb"], c["style_emb"])
     assert np.isfinite(a["exp"]).all()
+
+
+def test_cli_reconstruct(tmp_path):
+    """EMOCA single-image reconstruction app (gdl_apps/EMOCA demo
+    equivalent): PNG in -> codes npz + geometry render out."""
+    import numpy as np
+
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.viz.pngio import read_png, write_png
+
+    img = np.random.default_rng(0).integers(0, 255, (48, 48, 3), np.uint8)
+    p = tmp_path / "face.png"
+    write_png(str(p), img)
+    rc = main(["reconstruct", "--image", str(p), "--out-dir",
+               str(tmp_path / "out"), "--tiny", "--size", "32"])
+    assert rc == 0
+    z = np.load(tmp_path / "out" / "face_codes.npz")
+    assert z["exp"].shape == (1, 6) and z["vertices"].shape[2] == 3
+    render = read_png(str(tmp_path / "out" / "face_geometry.png"))
+    assert render.shape == (32, 32, 3)
