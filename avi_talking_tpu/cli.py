@@ -7,6 +7,7 @@ Subcommands:
              (train_diffusion_prior.py:655-774)
   bench      run the single-chip RTF benchmark
   train-prior diffusion-prior training loop (synthetic or real batches)
+  train-emote staged EMOTE training loop (geometric -> disentangled)
   reconstruct EMOCA-style single-image -> FLAME codes + geometry render
   stats      regenerate Mead coefficient statistics from a dataset root
 
@@ -183,6 +184,60 @@ def cmd_reconstruct(args) -> int:
     write_png(os.path.join(args.out_dir, f"{base}_geometry.png"),
               (np.clip(np.asarray(shaded[0]), 0, 1) * 255).astype(np.uint8))
     print(f"wrote {base}_codes.npz + {base}_geometry.png to {args.out_dir}")
+    return 0
+
+
+
+def cmd_train_emote(args) -> int:
+    """Staged EMOTE training loop (train/emote_driver.py): geometric stage
+    then optional condition-exchange stage; synthetic batches without a data
+    root (real MEAD batches via data.mead + batching)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.conditioning import StyleCondition
+    from .models.emote import EmoteConfig, EmoteTalkingHead
+    from .train.emote_driver import EmoteStage, train_emote
+
+    cfg = EmoteConfig.tiny() if args.tiny else EmoteConfig()
+    head = EmoteTalkingHead(cfg)
+    B, T = args.batch_size, args.frames - args.frames % cfg.flint.latent_frame_size
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield {
+                "raw_audio": jnp.asarray(
+                    rng.standard_normal((B, T, 640)).astype(np.float32)),
+                "expression": jnp.asarray(
+                    np.eye(9, dtype=np.float32)[rng.integers(0, 9, B)]),
+                "intensity": jnp.asarray(
+                    np.eye(3, dtype=np.float32)[rng.integers(0, 3, B)]),
+                "identity": jnp.asarray(
+                    np.eye(32, dtype=np.float32)[rng.integers(0, 32, B)]),
+                "shape": jnp.zeros((B, cfg.n_shape)),
+                "gt_exp": jnp.asarray(
+                    rng.standard_normal((B, T, cfg.flint.n_exp)).astype(np.float32) * 0.1),
+                "gt_jaw": jnp.asarray(
+                    rng.standard_normal((B, T, 3)).astype(np.float32) * 0.05),
+            }
+
+    it = batches()
+    first = next(it)
+    cond = StyleCondition(first["expression"], first["intensity"],
+                          first["identity"], first["shape"])
+    params = head.init(jax.random.PRNGKey(0), first["raw_audio"], cond)
+    stages = [
+        EmoteStage(name="geometric", steps=args.steps, lr=args.lr),
+        EmoteStage(name="disentangled", steps=args.steps, lr=args.lr / 2,
+                   disentangle="condition_exchange"),
+    ]
+    res = train_emote(head, params, batches, stages=stages,
+                      val_batches=lambda: iter([first]),
+                      val_every=args.val_every, run_dir=args.run_dir,
+                      early_stop_patience=args.early_stop_patience)
+    print(f"done: {res['total_steps']} steps, best val {res['best_val']:.4f}")
     return 0
 
 
@@ -392,6 +447,17 @@ def main(argv=None) -> int:
     rc.add_argument("--flame-npz", default=None)
     rc.add_argument("--checkpoint", default=None)
     rc.set_defaults(fn=cmd_reconstruct)
+
+    te = sub.add_parser("train-emote", help="staged EMOTE training loop")
+    te.add_argument("--steps", type=int, default=200, help="steps per stage")
+    te.add_argument("--batch-size", type=int, default=8)
+    te.add_argument("--frames", type=int, default=64)
+    te.add_argument("--lr", type=float, default=1e-4)
+    te.add_argument("--val-every", type=int, default=50)
+    te.add_argument("--early-stop-patience", type=int, default=0)
+    te.add_argument("--run-dir", default=None)
+    te.add_argument("--tiny", action="store_true")
+    te.set_defaults(fn=cmd_train_emote)
 
     t = sub.add_parser("train-prior", help="diffusion prior training loop")
     t.add_argument("--steps", type=int, default=500)
