@@ -426,3 +426,53 @@ def test_talkclip_captions_feed_dataset(mead_root, tmp_path):
     ds = MeadEmocaDataset(root=mead_root, captions_path=str(p), split="val")
     item = ds[0]
     assert "text" in item and item["text"].startswith("A ")
+
+
+def test_style_b_to_a_caption_translation():
+    """Offline Style-B -> Style-A translator (scripts/style_celebv2meadtext.py
+    equivalent): emotion/AU/intensity parsing + Style-A frame realisation."""
+    from avi_talking_tpu.data.caption_translate import (
+        build_translation_prompt,
+        parse_style_b,
+        translate_corpus,
+        translate_style_b_to_a,
+    )
+
+    b1 = ("The anger is inferred from the lowered brow, raised cheek, "
+          "wrinkled nose, and separated lips of this person's face.")
+    p1 = parse_style_b(b1)
+    assert p1.emotion == "angry"
+    assert set(p1.aus) >= {4, 6, 9, 25}
+
+    b2 = ("This happy face is shown by the raising of the cheek, the pulling "
+          "of the lip corner, and the separation of the lips.")
+    p2 = parse_style_b(b2)
+    assert p2.emotion == "happy" and 12 in p2.aus and 25 in p2.aus
+
+    b3 = ("The relaxed position of the slightly open eyes and mouth suggests "
+          "a calm and neutral expression.")
+    assert parse_style_b(b3).emotion == "neutral"
+
+    b4 = ("The person's facial actions, consisting of raising their inner "
+          "eyebrow, separating their lips, and dropping their jaw, suggest "
+          "a feeling of extreme sadness.")
+    p4 = parse_style_b(b4)
+    assert p4.emotion == "sad" and p4.level == 3
+    assert set(p4.aus) >= {1, 25, 26}
+
+    # realisation: Style-A frames, deterministic per (sentence, seed)
+    out = translate_style_b_to_a(b1, seed=0)
+    assert out == translate_style_b_to_a(b1, seed=0)
+    assert out.startswith("A ") and out.endswith(".")
+    assert "speaks with" in out and ("angry" in out or "rage" in out
+                                     or "fury" in out or "resent" in out
+                                     or "frustrated" in out)
+    neutral_out = translate_style_b_to_a(b3, seed=0)
+    assert "speaks with" not in neutral_out  # neutral uses the short frames
+
+    outs = translate_corpus([b1, b2, b4], seed=0)
+    assert len(outs) == 3 and len(set(outs)) == 3
+
+    prompt = build_translation_prompt([b1, b2])
+    assert "Style A:" in prompt and "Style B sentences:" in prompt
+    assert b1 in prompt and "following structures" in prompt
