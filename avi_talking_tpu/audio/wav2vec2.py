@@ -146,6 +146,49 @@ class FeatureProjection(nn.Module):
         )(x)
 
 
+class _GroupUnrolledConv1d(nn.Module):
+    """Grouped 1-D conv with the SAME params/math as
+    ``nn.Conv(feature_group_count=groups)`` — kernel (k, in/groups, out),
+    output block i consuming input slice i — but computed as ``groups``
+    plain convs, because XLA's SPMD partitioner mis-partitions a grouped
+    conv's kernel gradient on a 2-axis (dp, tp) mesh: with the batch
+    sharded over dp and tp idle on this op, the gradient comes back exactly
+    tp-times too large (verified dp=4 x tp=2 -> 2.0x). Plain convs
+    partition correctly on every mesh we use."""
+
+    features: int
+    kernel_size: int
+    groups: int
+    padding: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, T, D)
+        D = x.shape[-1]
+        dg_in = D // self.groups
+        dg_out = self.features // self.groups
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, dg_in, self.features), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype,
+        )
+        dn = ("NHC", "HIO", "NHC")
+        outs = []
+        for gi in range(self.groups):
+            xg = x[..., gi * dg_in : (gi + 1) * dg_in]
+            kg = kernel[:, :, gi * dg_out : (gi + 1) * dg_out]
+            outs.append(
+                jax.lax.conv_general_dilated(
+                    xg.astype(self.dtype), kg.astype(self.dtype), (1,),
+                    [(self.padding, self.padding)], dimension_numbers=dn,
+                )
+            )
+        return jnp.concatenate(outs, axis=-1) + bias.astype(self.dtype)
+
+
 class PositionalConvEmbedding(nn.Module):
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
@@ -155,12 +198,11 @@ class PositionalConvEmbedding(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, T, D)
         c = self.cfg
         k = c.num_conv_pos_embeddings
-        pad = k // 2
-        h = nn.Conv(
+        h = _GroupUnrolledConv1d(
             features=c.hidden_size,
-            kernel_size=(k,),
-            padding=((pad, pad),),
-            feature_group_count=c.num_conv_pos_embedding_groups,
+            kernel_size=k,
+            groups=c.num_conv_pos_embedding_groups,
+            padding=k // 2,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
