@@ -112,3 +112,79 @@ def param_shardings(params: Dict[str, Any], mesh: Mesh, rules=emote_param_shardi
         return NamedSharding(mesh, rules(keys))
 
     return jax.tree_util.tree_map_with_path(spec, params)
+
+
+# --- FSDP (ZeRO-3-style) parameter + optimizer-state sharding -------------
+#
+# With GSPMD, "FSDP" is just a sharding decision: place each weight (and its
+# Adam moments) sharded over the data axis and let XLA insert the
+# all-gathers before use and reduce-scatters on the gradients. No wrapper
+# module, no manual collectives — the idiomatic TPU equivalent of
+# ZeRO/FairScale sharded training (which the reference, single-GPU, lacks).
+
+
+def fsdp_extend_spec(
+    spec: P, shape, mesh: Mesh, axis: str = "dp", min_size: int = 8192
+) -> P:
+    """Extend ``spec`` by sharding the largest still-unsharded dim of
+    ``shape`` over ``axis`` (if divisible). Leaves smaller than
+    ``min_size`` elements stay as-is (gather overhead beats the memory).
+
+    Only 2-D leaves (matmul kernels / embedding tables — where the bytes
+    are) are sharded: sharding conv kernels trips XLA's SPMD convolution
+    partitioner (CHECK failure in convolution_handler.cc batch-group math),
+    and biases/norms are too small to matter."""
+    size = int(np.prod(shape)) if len(shape) else 0
+    n_ax = mesh.shape[axis]
+    if size < min_size or n_ax <= 1 or len(shape) != 2:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    used = {e for e in entries if e is not None}
+    if axis in used:
+        return spec
+    for d in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if entries[d] is None and shape[d] % n_ax == 0 and shape[d] >= n_ax:
+            entries[d] = axis
+            return P(*entries)
+    return spec
+
+
+def fsdp_param_shardings(
+    params: Dict[str, Any], mesh: Mesh,
+    rules=emote_param_sharding_rules, axis: str = "dp", min_size: int = 8192,
+):
+    """NamedSharding pytree: tp rules first, then FSDP over the dp axis."""
+
+    def spec(path, leaf):
+        keys = "/".join(str(getattr(k, "key", k)) for k in path)
+        base = rules(keys)
+        return NamedSharding(
+            mesh, fsdp_extend_spec(base, leaf.shape, mesh, axis, min_size))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def fsdp_shard_params(
+    params: Dict[str, Any], mesh: Mesh,
+    rules=emote_param_sharding_rules, axis: str = "dp", min_size: int = 8192,
+):
+    """Place ``params`` on the mesh with tp+FSDP shardings."""
+    shardings = fsdp_param_shardings(params, mesh, rules, axis, min_size)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def state_shardings_like(
+    state, params: Dict[str, Any], p_shardings, mesh: Mesh
+):
+    """Shardings for an optimizer state: leaves that are param-shaped (Adam
+    mu/nu) inherit the matching param's sharding; everything else (step
+    counters, scalars) is replicated."""
+    by_shape: Dict[tuple, NamedSharding] = {}
+    for leaf, sh in zip(jax.tree.leaves(params), jax.tree.leaves(p_shardings)):
+        by_shape.setdefault(tuple(leaf.shape), sh)
+    rep = NamedSharding(mesh, P())
+
+    def pick(leaf):
+        return by_shape.get(tuple(getattr(leaf, "shape", ())), rep)
+
+    return jax.tree.map(pick, state)

@@ -74,3 +74,105 @@ def test_sharded_params_placement():
     assert k.sharding.spec == P(None, "tp")
     other = sharded["audio_encoder"]["feature_projection"]["projection"]["kernel"]
     assert other.sharding.spec == P()
+
+
+def test_fsdp_extend_spec_rules():
+    from avi_talking_tpu.parallel import fsdp_extend_spec
+
+    m = make_mesh(dp=4, tp=2)
+    # largest divisible dim gets "dp"
+    assert fsdp_extend_spec(P(), (768, 3072), m) == P(None, "dp")
+    assert fsdp_extend_spec(P(), (3072, 768), m) == P("dp", None)
+    # tp-sharded dim is respected; dp goes to the other dim
+    assert fsdp_extend_spec(P(None, "tp"), (768, 3072), m) == P("dp", "tp")
+    # small leaves stay replicated
+    assert fsdp_extend_spec(P(), (128,), m) == P()
+    # non-divisible dims skipped (5023 % 4 != 0 -> falls to dim 1... also
+    # not divisible -> unchanged)
+    assert fsdp_extend_spec(P(), (5023, 3), m) == P()
+    # scalars untouched
+    assert fsdp_extend_spec(P(), (), m) == P()
+    # conv kernels (ndim != 2) are never FSDP-sharded: XLA's SPMD conv
+    # partitioner CHECK-fails on sharded kernel dims
+    assert fsdp_extend_spec(P(), (10, 512, 512), m) == P()
+    assert fsdp_extend_spec(P(), (3, 3, 256, 256), m) == P()
+
+
+@requires_8
+def test_fsdp_train_step_matches_replicated():
+    """FSDP (params + Adam moments sharded over dp) must be numerically
+    identical to the replicated dp step — GSPMD only changes layout."""
+    import optax
+
+    from avi_talking_tpu.models import EmoteConfig, EmoteTalkingHead
+    from avi_talking_tpu.models.conditioning import StyleCondition
+    from avi_talking_tpu.parallel import (
+        fsdp_param_shardings,
+        state_shardings_like,
+    )
+    from avi_talking_tpu.train import TalkingHeadTrainer
+
+    cfg = EmoteConfig.tiny()
+    head = EmoteTalkingHead(cfg)
+    mesh = make_mesh(dp=4, tp=2)
+    B, T = 8, 2 * cfg.flint.latent_frame_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "raw_audio": jnp.asarray(
+            rng.standard_normal((B, T, 640)).astype(np.float32)),
+        "expression": jnp.asarray(np.eye(8, dtype=np.float32)[
+            rng.integers(0, 8, B)]),
+        "intensity": jnp.asarray(np.eye(3, dtype=np.float32)[
+            rng.integers(0, 3, B)]),
+        "identity": jnp.asarray(np.eye(32, dtype=np.float32)[
+            rng.integers(0, 32, B)]),
+        "shape": jnp.zeros((B, cfg.n_shape)),
+        "gt_exp": jnp.asarray(
+            rng.standard_normal((B, T, cfg.n_exp)).astype(np.float32) * 0.1),
+        "gt_jaw": jnp.asarray(
+            rng.standard_normal((B, T, 3)).astype(np.float32) * 0.05),
+    }
+    cond = StyleCondition(batch["expression"], batch["intensity"],
+                          batch["identity"], batch["shape"])
+    params = head.init(jax.random.PRNGKey(0), batch["raw_audio"], cond)
+    # sgd for the equivalence check: adam's first step maps near-zero
+    # gradient noise to +-lr (g/(|g|+eps)), which sign-flips under the
+    # different (but equally valid) sharded reduction order
+    tx = optax.sgd(1e-2)
+    trainer = TalkingHeadTrainer(head=head, tx=tx)
+
+    # replicated baseline (pure single-device semantics)
+    p_ref, o_ref, m_ref = jax.jit(trainer.train_step)(
+        params, tx.init(params), batch, jax.random.PRNGKey(1))
+
+    with mesh:
+        p_sh = fsdp_param_shardings(params, mesh, min_size=256)
+        params_f = jax.tree.map(jax.device_put, params, p_sh)
+        opt_f = tx.init(params_f)
+        o_sh = state_shardings_like(opt_f, params, p_sh, mesh)
+        opt_f = jax.tree.map(
+            lambda x, s: jax.device_put(x, s), opt_f, o_sh)
+        step = jax.jit(
+            trainer.train_step,
+            in_shardings=(p_sh, o_sh, None, None),
+            out_shardings=(p_sh, o_sh, None),
+        )
+        batch_sh = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("dp")))
+            if hasattr(x, "ndim") and x.ndim >= 1 else x,
+            batch,
+        )
+        p_new, o_new, m_new = step(params_f, opt_f, batch_sh,
+                                   jax.random.PRNGKey(1))
+
+    # at least one large kernel is genuinely dp-sharded
+    specs = jax.tree.leaves(
+        jax.tree.map(lambda s: s.spec, p_sh,
+                     is_leaf=lambda x: isinstance(x, NamedSharding)))
+    assert any("dp" in [e for e in s if e] for s in specs if len(s)), specs
+    np.testing.assert_allclose(float(m_new["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    # updated params match the replicated baseline
+    for a, b in zip(jax.tree.leaves(p_new), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
