@@ -47,6 +47,53 @@ def batch_iterator(
             yield collate(items) if collate else default_collate(items)
 
 
+def prefetch_to_device(
+    iterator: Iterator[Dict[str, Any]],
+    size: int = 2,
+    sharding: Optional[Any] = None,
+) -> Iterator[Dict[str, Any]]:
+    """Double-buffered host->device prefetch.
+
+    A daemon thread pulls batches from ``iterator``, issues the (async)
+    H2D ``jax.device_put`` — optionally onto a NamedSharding, e.g.
+    ``batch_sharding(mesh)`` for dp training — and keeps up to ``size``
+    batches in flight, so host-side decode/pad overlaps the device step
+    (the reference relies on torch DataLoader workers for the same
+    overlap; on TPU the transfer itself must also be ahead of the step).
+    Array leaves move to device; other leaves (paths, strings) pass through.
+    """
+    import queue as _queue
+    import threading as _threading
+
+    import jax
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, size))
+    _END = object()
+
+    def put(x):
+        if isinstance(x, np.ndarray) or hasattr(x, "ndim"):
+            return jax.device_put(x, sharding) if sharding is not None \
+                else jax.device_put(x)
+        return x
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(jax.tree.map(put, batch))
+            q.put(_END)
+        except BaseException as e:  # surface iterator errors to the consumer
+            q.put(e)
+
+    _threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def default_collate(items: List[Any]) -> Dict[str, np.ndarray]:
     """Stack dict items; non-array fields are gathered into lists."""
     if dataclasses_like := hasattr(items[0], "__dataclass_fields__"):

@@ -1,0 +1,183 @@
+"""Micro-batching inference server for the wav+instruction -> face pipeline.
+
+The reference serves requests with a per-sample python loop
+(/root/reference/train_diffusion_prior.py:655-774: one CLIP forward, one
+100-step prior loop and one EMOTE forward per (caption, wav) pair). A
+TPU deployment wants the opposite: requests queued on the host, coalesced
+into fixed-shape micro-batches (jit recompiles per shape — both sequence
+length AND batch size must be bucketed), one device dispatch per batch.
+
+Design:
+- ``submit()`` is non-blocking and returns a Future; a single collector
+  thread drains the queue, groups by (length bucket), pads the batch dim
+  up to the next batch bucket (extra rows are masked copies of row 0 and
+  dropped on return), and calls the pipeline's fused batch path.
+- ``warmup()`` pre-compiles every (batch bucket x length bucket) shape so
+  the first real request never pays a compile.
+- All shapes come from ``ServingConfig``; steady-state serving therefore
+  runs entirely from the jit cache.
+
+Stats (`server.stats`) track request latency and batch occupancy — the
+same numbers bench.py reports as p50/p99.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingConfig:
+    max_batch: int = 16
+    max_wait_ms: float = 5.0  # collector linger before dispatching a partial batch
+    batch_buckets: Sequence[int] = (1, 2, 4, 8, 16)
+    length_buckets: Sequence[int] = (64, 128, 256, 512)
+    sample_rate: int = 16_000
+
+
+@dataclasses.dataclass
+class _Request:
+    wav: np.ndarray
+    instruction: str
+    seed: int
+    future: Future
+    t_submit: float
+
+
+class InferenceServer:
+    """Queue + collector thread over ``AviTalkingPipeline.generate_batch``."""
+
+    def __init__(self, pipeline, cfg: Optional[ServingConfig] = None):
+        self.pipeline = pipeline
+        self.cfg = cfg or ServingConfig()
+        assert self.cfg.max_batch <= max(self.cfg.batch_buckets)
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._closed = False
+        self.stats: Dict[str, List[float]] = {
+            "latency_ms": [], "batch_size": [], "padded_batch": []}
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, wav: np.ndarray, instruction: str, seed: int = 0) -> Future:
+        if self._closed:
+            raise RuntimeError("server closed")
+        fut: Future = Future()
+        self._q.put(_Request(np.asarray(wav, np.float32), instruction, seed,
+                             fut, time.perf_counter()))
+        return fut
+
+    def generate(self, wav, instruction: str, seed: int = 0, timeout=None):
+        """Blocking convenience wrapper."""
+        return self.submit(wav, instruction, seed).result(timeout=timeout)
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
+            self._thread.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- shape management ---------------------------------------------------
+
+    def _batch_bucket(self, n: int) -> int:
+        for b in sorted(self.cfg.batch_buckets):
+            if n <= b:
+                return b
+        return max(self.cfg.batch_buckets)
+
+    def warmup(self, seconds_per_bucket: Optional[Sequence[float]] = None):
+        """Compile every (batch bucket, length bucket) shape up front."""
+        lfs = self.pipeline.cfg.emote.flint.latent_frame_size
+        lengths = [b - b % lfs for b in self.cfg.length_buckets]
+        secs = seconds_per_bucket or [t / 25.0 for t in lengths]
+        for sec, _t in zip(secs, lengths):
+            wav = np.zeros(int(sec * self.cfg.sample_rate), np.float32)
+            for bb in sorted(set(self.cfg.batch_buckets)):
+                if bb > self.cfg.max_batch:
+                    break
+                self.pipeline.generate_batch(
+                    [wav] * bb, ["warmup"] * bb, seed=0,
+                    length_buckets=tuple(self.cfg.length_buckets),
+                    sample_rate=self.cfg.sample_rate,
+                )
+
+    # -- collector ----------------------------------------------------------
+
+    def _collect(self) -> List[_Request]:
+        """Block for one request, then linger up to max_wait_ms for more."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.cfg.max_wait_ms / 1e3
+        while len(batch) < self.cfg.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                req = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                self._q.put(None)  # keep the poison pill for the main loop
+                break
+            batch.append(req)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if not batch:
+                return
+            # one PRNG key covers a whole generate_batch call, so requests
+            # with different seeds must not share a micro-batch
+            groups: Dict[int, List[_Request]] = {}
+            for r in batch:
+                groups.setdefault(r.seed, []).append(r)
+            for grp in groups.values():
+                try:
+                    self._dispatch(grp)
+                except Exception as e:  # fail the whole micro-batch
+                    for r in grp:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+
+    def _dispatch(self, batch: List[_Request]) -> None:
+        n = len(batch)
+        padded = self._batch_bucket(n)
+        wavs = [r.wav for r in batch] + [batch[0].wav] * (padded - n)
+        instrs = [r.instruction for r in batch] + (
+            [batch[0].instruction] * (padded - n))
+        outs = self.pipeline.generate_batch(
+            wavs, instrs, seed=batch[0].seed,
+            length_buckets=tuple(self.cfg.length_buckets),
+            sample_rate=self.cfg.sample_rate,
+        )
+        now = time.perf_counter()
+        self.stats["batch_size"].append(n)
+        self.stats["padded_batch"].append(padded)
+        for r, out in zip(batch, outs):
+            self.stats["latency_ms"].append((now - r.t_submit) * 1e3)
+            r.future.set_result(out)
+
+    # -- observability -------------------------------------------------------
+
+    def latency_percentiles(self, qs=(50, 99)) -> Dict[str, float]:
+        lat = self.stats["latency_ms"]
+        if not lat:
+            return {f"p{q}": float("nan") for q in qs}
+        return {f"p{q}": float(np.percentile(lat, q)) for q in qs}

@@ -476,3 +476,40 @@ def test_style_b_to_a_caption_translation():
     prompt = build_translation_prompt([b1, b2])
     assert "Style A:" in prompt and "Style B sentences:" in prompt
     assert b1 in prompt and "following structures" in prompt
+
+
+def test_prefetch_to_device():
+    """Double-buffered H2D prefetch: order preserved, arrays on device,
+    non-arrays passed through, iterator errors surfaced, sharding honored."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from avi_talking_tpu.data.batching import prefetch_to_device
+    from avi_talking_tpu.parallel import make_mesh
+
+    batches = [{"x": np.full((4, 3), i, np.float32), "name": f"b{i}"}
+               for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(b["x"][0, 0]) == i  # order preserved
+        assert isinstance(b["x"], jax.Array)
+        assert b["name"] == f"b{i}"
+
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh(dp=8, tp=1)
+        sh = NamedSharding(mesh, P("dp"))
+        got = next(prefetch_to_device(
+            iter([{"x": np.zeros((8, 2), np.float32)}]), sharding=sh))
+        assert got["x"].sharding == sh
+
+    def bad_iter():
+        yield {"x": np.zeros(2, np.float32)}
+        raise RuntimeError("decode failed")
+
+    it = prefetch_to_device(bad_iter(), size=1)
+    next(it)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        next(it)

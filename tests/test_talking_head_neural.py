@@ -119,7 +119,7 @@ def test_neural_losses_wired_and_decreasing(setup):
     step = trainer.jitted_train_step()
     opt = tx.init(params)
     history = []
-    for i in range(8):
+    for i in range(5):  # enough for every term to move; keeps 1-core CI fast
         params, opt, metrics = step(params, opt, batch, jax.random.PRNGKey(3))
         history.append({k: float(v) for k, v in metrics.items()})
     first, last = history[0], history[-1]
