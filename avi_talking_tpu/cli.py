@@ -6,10 +6,13 @@ Subcommands:
              the reference's `diffusion_test.sh align_emote` product path
              (train_diffusion_prior.py:655-774)
   bench      run the single-chip RTF benchmark
+  serve      micro-batched serving over a corpus (InferenceServer: batch
+             coalescing + warmup precompile + p50/p99 stats)
   train-prior diffusion-prior training loop (synthetic or real batches)
   train-emote staged EMOTE training loop (geometric -> disentangled)
   reconstruct EMOCA-style single-image -> FLAME codes + geometry render
   stats      regenerate Mead coefficient statistics from a dataset root
+  translate-captions  Style-B prose -> Style-A instructions (offline)
 
 Checkpoints/assets are optional: without them the models run random-init
 (compute-path smoke); pass --flame-npz / --checkpoint for real outputs.
@@ -379,6 +382,78 @@ def cmd_diversity(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve the caption corpus through the micro-batching InferenceServer
+    (the production counterpart of ``instruct``'s per-sample loop)."""
+    from .data import CaptionDataset
+    from .pipeline.server import InferenceServer, ServingConfig
+
+    ds = CaptionDataset(args.json_dir, args.wav_dir)
+    pipe = _build_pipeline(args)
+    scfg = ServingConfig(
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        batch_buckets=tuple(
+            b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch),
+        length_buckets=tuple(args.length_buckets),
+    )
+    t0 = time.time()
+    with InferenceServer(pipe, scfg) as server:
+        if args.warmup:
+            server.warmup()
+            print(f"warmup: {time.time()-t0:.1f}s "
+                  f"({len(scfg.batch_buckets)}x{len(scfg.length_buckets)} shapes)")
+        futs = []
+        t1 = time.time()
+        for item in ds:
+            for ci, caption in enumerate(item.captions):
+                futs.append((f"{item.name}_cap{ci}",
+                             server.submit(item.wav_path, caption,
+                                           seed=args.seed)))
+        audio_s = 0.0
+        for name, fut in futs:
+            out = fut.result()
+            audio_s += out["exp"].shape[0] / 25.0
+            _save_outputs(out, args.out, name, pipe, args)
+        wall = time.time() - t1
+        pct = server.latency_percentiles()
+        occ = server.stats["batch_size"]
+        print(
+            f"served {len(futs)} requests ({audio_s:.1f}s audio) in {wall:.2f}s "
+            f"({audio_s / wall:.1f}x realtime); latency p50 {pct['p50']:.0f}ms "
+            f"p99 {pct['p99']:.0f}ms; mean batch {sum(occ)/len(occ):.1f}"
+        )
+    return 0
+
+
+def cmd_translate_captions(args) -> int:
+    """Style-B (CelebV-Text prose) -> Style-A (MEAD instruction) captions,
+    offline (scripts/style_celebv2meadtext.py equivalent)."""
+    from .data.caption_translate import (
+        build_translation_prompt,
+        translate_style_b_to_a,
+    )
+
+    with open(args.input) as f:
+        if args.input.endswith(".json"):
+            data = json.load(f)
+            sentences = data if isinstance(data, list) else data["captions"]
+        else:
+            sentences = [ln.strip() for ln in f if ln.strip()]
+    if args.emit_prompt:
+        print(build_translation_prompt(sentences))
+        return 0
+    outs = [translate_style_b_to_a(s, seed=args.seed) for s in sentences]
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(outs, f, indent=1)
+        print(f"wrote {len(outs)} captions -> {args.out}")
+    else:
+        for s in outs:
+            print(s)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="avi-talking-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -472,6 +547,26 @@ def main(argv=None) -> int:
     t.add_argument("--resume", action="store_true",
                    help="restore <ckpt-dir>/last before training")
     t.set_defaults(fn=cmd_train_prior)
+
+    sv = sub.add_parser("serve", help="micro-batched serving over a corpus")
+    sv.add_argument("--json-dir", required=True)
+    sv.add_argument("--wav-dir", default=None)
+    sv.add_argument("--max-batch", type=int, default=8)
+    sv.add_argument("--max-wait-ms", type=float, default=5.0)
+    sv.add_argument("--length-buckets", type=int, nargs="+",
+                    default=[64, 128, 256, 512])
+    sv.add_argument("--warmup", action="store_true")
+    common(sv)
+    sv.set_defaults(fn=cmd_serve)
+
+    tc = sub.add_parser("translate-captions",
+                        help="Style-B prose -> Style-A instructions (offline)")
+    tc.add_argument("--input", required=True, help=".json list or .txt lines")
+    tc.add_argument("--out", default=None)
+    tc.add_argument("--seed", type=int, default=0)
+    tc.add_argument("--emit-prompt", action="store_true",
+                    help="print the LLM translation prompt instead")
+    tc.set_defaults(fn=cmd_translate_captions)
 
     args = p.parse_args(argv)
     return args.fn(args)

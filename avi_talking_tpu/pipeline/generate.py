@@ -417,16 +417,21 @@ class AviTalkingPipeline:
             vl = jnp.asarray([lens[i] for i in idxs])
             out = self._animate_fn(self.params["head"], jnp.asarray(batch),
                                    styles[np.asarray(idxs)], vl)
+            # ONE D2H fetch per field, then numpy slicing per clip: on-device
+            # `out[field][j, :T]` would eagerly compile a fresh
+            # dynamic_slice per distinct clip length — ~0.5 s each through a
+            # remote-TPU tunnel, dominating serving latency
+            host = {k: np.asarray(v) for k, v in out.items()}
             for j, i in enumerate(idxs):
                 T = lens[i]
                 res = {
-                    "exp": np.asarray(out["exp"][j, :T]),
-                    "jaw": np.asarray(out["jaw"][j, :T]),
-                    "style_emb": np.asarray(out["style_emb"][j]),
+                    "exp": host["exp"][j, :T],
+                    "jaw": host["jaw"][j, :T],
+                    "style_emb": host["style_emb"][j],
                     "frames": frames_list[i],
                 }
-                if "vertices" in out:
-                    res["vertices"] = np.asarray(out["vertices"][j, :T])
+                if "vertices" in host:
+                    res["vertices"] = host["vertices"][j, :T]
                 results[i] = res
         return results
 

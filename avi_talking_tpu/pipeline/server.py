@@ -28,7 +28,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -44,7 +44,7 @@ class ServingConfig:
 
 @dataclasses.dataclass
 class _Request:
-    wav: np.ndarray
+    wav: Any  # float waveform array or .wav path
     instruction: str
     seed: int
     future: Future
@@ -67,12 +67,15 @@ class InferenceServer:
 
     # -- client API --------------------------------------------------------
 
-    def submit(self, wav: np.ndarray, instruction: str, seed: int = 0) -> Future:
+    def submit(self, wav, instruction: str, seed: int = 0) -> Future:
+        """``wav``: float waveform array or a .wav path (like
+        ``generate_batch``)."""
         if self._closed:
             raise RuntimeError("server closed")
+        if not isinstance(wav, str):
+            wav = np.asarray(wav, np.float32)
         fut: Future = Future()
-        self._q.put(_Request(np.asarray(wav, np.float32), instruction, seed,
-                             fut, time.perf_counter()))
+        self._q.put(_Request(wav, instruction, seed, fut, time.perf_counter()))
         return fut
 
     def generate(self, wav, instruction: str, seed: int = 0, timeout=None):

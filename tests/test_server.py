@@ -102,3 +102,33 @@ def test_warmup_compiles_all_buckets(pipe):
         s.generate(np.zeros(8000, np.float32), "warm", timeout=300)
         warm_ms = (time.perf_counter() - t0) * 1e3
     assert warm_ms < 5000  # generous: no fresh compile in the hot path
+
+
+def test_cli_serve_and_translate(tmp_path):
+    """`cli serve` runs the fixture corpus through the InferenceServer and
+    reports latency; `cli translate-captions` converts Style-B prose."""
+    import json
+    from pathlib import Path
+
+    from avi_talking_tpu.cli import main
+
+    repo = Path(__file__).resolve().parents[1]
+    rc = main([
+        "serve", "--json-dir", str(repo / "experiments" / "json_dir"),
+        "--wav-dir", str(repo / "experiments" / "wav_dir"),
+        "--tiny", "--max-batch", "4", "--max-wait-ms", "30",
+        "--length-buckets", "128", "256", "512",
+        "--out", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    assert list((tmp_path / "out").glob("*_coeffs.npz"))
+
+    src = tmp_path / "styleb.txt"
+    src.write_text(
+        "The anger is inferred from the lowered brow and separated lips.\n"
+        "This happy face shows raising of the cheek.\n")
+    dst = tmp_path / "stylea.json"
+    rc = main(["translate-captions", "--input", str(src), "--out", str(dst)])
+    assert rc == 0
+    outs = json.loads(dst.read_text())
+    assert len(outs) == 2 and all(o.endswith(".") for o in outs)
