@@ -396,6 +396,7 @@ def cmd_serve(args) -> int:
         batch_buckets=tuple(
             b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch),
         length_buckets=tuple(args.length_buckets),
+        return_vertices=args.save_video,  # meshes only when rendering
     )
     t0 = time.time()
     with InferenceServer(pipe, scfg) as server:

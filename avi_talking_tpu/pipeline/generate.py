@@ -366,6 +366,7 @@ class AviTalkingPipeline:
         cond_scale: float = 1.0,
         length_buckets: tuple = (64, 128, 256, 512),
         sample_rate: int = 16_000,
+        return_vertices: bool = True,
     ) -> list[Dict[str, np.ndarray]]:
         """Batched serving path: one style-sampling dispatch + one animate
         dispatch per length bucket. Clips are framed, padded to the bucket
@@ -420,8 +421,13 @@ class AviTalkingPipeline:
             # ONE D2H fetch per field, then numpy slicing per clip: on-device
             # `out[field][j, :T]` would eagerly compile a fresh
             # dynamic_slice per distinct clip length — ~0.5 s each through a
-            # remote-TPU tunnel, dominating serving latency
-            host = {k: np.asarray(v) for k, v in out.items()}
+            # remote-TPU tunnel, dominating serving latency.
+            # ``return_vertices=False`` additionally skips fetching the
+            # (B, T, 5023, 3) vertex tensor (~100 MB per batch — THE serving
+            # bottleneck on remote TPUs); coeffs alone are a few KB and
+            # FLAME-decode anywhere.
+            host = {k: np.asarray(v) for k, v in out.items()
+                    if return_vertices or k != "vertices"}
             for j, i in enumerate(idxs):
                 T = lens[i]
                 res = {

@@ -40,6 +40,10 @@ class ServingConfig:
     batch_buckets: Sequence[int] = (1, 2, 4, 8, 16)
     length_buckets: Sequence[int] = (64, 128, 256, 512)
     sample_rate: int = 16_000
+    # fetch the (B, T, V, 3) vertex tensor per batch? Off by default: it is
+    # ~100 MB of D2H per batch (THE latency bottleneck on remote TPUs);
+    # coeffs are a few KB and FLAME-decode anywhere.
+    return_vertices: bool = False
 
 
 @dataclasses.dataclass
@@ -116,6 +120,7 @@ class InferenceServer:
                     [wav] * bb, ["warmup"] * bb, seed=0,
                     length_buckets=tuple(self.cfg.length_buckets),
                     sample_rate=self.cfg.sample_rate,
+                    return_vertices=self.cfg.return_vertices,
                 )
 
     # -- collector ----------------------------------------------------------
@@ -169,6 +174,7 @@ class InferenceServer:
             wavs, instrs, seed=batch[0].seed,
             length_buckets=tuple(self.cfg.length_buckets),
             sample_rate=self.cfg.sample_rate,
+            return_vertices=self.cfg.return_vertices,
         )
         now = time.perf_counter()
         self.stats["batch_size"].append(n)

@@ -170,6 +170,38 @@ def main():
     _emit("train_mfu_pct", round(100.0 * flops / step_s / V5E_BF16_PEAK_FLOPS, 2),
           "pct_of_v5e_bf16_peak")
 
+    # ---- production serving path (InferenceServer, micro-batched) --------
+    from avi_talking_tpu.pipeline import (
+        AviTalkingPipeline,
+        InferenceServer,
+        PipelineConfig,
+        ServingConfig,
+    )
+
+    pipe = AviTalkingPipeline.random_init(
+        PipelineConfig(), flame_assets=assets, dtype=dtype)
+    lfs = pipe.cfg.emote.flint.latent_frame_size
+    bucket = 200 + (-200) % lfs  # one 8 s bucket
+    scfg = ServingConfig(max_batch=8, max_wait_ms=3.0, batch_buckets=(8,),
+                         length_buckets=(bucket,))
+    wav8s = np.asarray(
+        np.random.default_rng(3).uniform(-0.3, 0.3, 16_000 * seconds),
+        np.float32)
+    with InferenceServer(pipe, scfg) as server:
+        server.warmup(seconds_per_bucket=[seconds])
+        futs = [server.submit(wav8s, "a fairly happy person", seed=0)
+                for _ in range(32)]
+        for f in futs:
+            f.result()
+        pct = server.latency_percentiles()
+        served_audio = 32 * seconds
+        # all requests submitted at once -> the slowest request's latency is
+        # the wall time for the whole served load
+        wall = max(server.stats["latency_ms"]) / 1e3
+    _emit("serving_p50_ms", round(pct["p50"], 1), "ms_per_8s_clip_served")
+    _emit("serving_throughput", round(served_audio / wall, 1),
+          "s_audio_per_s_compute_served")
+
     # ---- Pallas rasterizer vs XLA binned (render-loss hot path) ----------
     from avi_talking_tpu.core.projection import batch_orth_proj
     from avi_talking_tpu.viz.rasterizer import (
