@@ -202,6 +202,40 @@ def main():
     _emit("serving_throughput", round(served_audio / wall, 1),
           "s_audio_per_s_compute_served")
 
+    # ---- Pallas key-bias attention vs XLA (wav2vec2 encoder hot spot) ----
+    from avi_talking_tpu.ops.pallas.attention import fused_keybias_attention
+
+    Ba, Ha, Ta, da = 16, 12, 552, 64
+    arng = np.random.default_rng(5)
+    qa = jnp.asarray(arng.standard_normal((Ba, Ha, Ta, da)), dtype) / (da ** 0.5)
+    ka = jnp.asarray(arng.standard_normal((Ba, Ha, Ta, da)), dtype)
+    va = jnp.asarray(arng.standard_normal((Ba, Ha, Ta, da)), dtype)
+    kb = jnp.asarray(
+        np.where(np.arange(Ta)[None] < arng.integers(Ta // 2, Ta, Ba)[:, None],
+                 0.0, -1e9).astype(np.float32))
+
+    @jax.jit
+    def xla_attn(q, k, v, kb):
+        s = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                       preferred_element_type=jnp.float32)
+        s = s + kb[:, None, None, :]
+        return jnp.einsum("bhts,bhsd->bhtd",
+                          jax.nn.softmax(s, axis=-1).astype(q.dtype), v)
+
+    def t_fn(fn, n=30):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    t_xa = t_fn(lambda: xla_attn(qa, ka, va, kb))
+    t_pa = t_fn(lambda: fused_keybias_attention(qa, ka, va, kb))
+    _emit("attn_encoder_xla_ms", round(t_xa, 3), "ms")
+    _emit("attn_encoder_pallas_ms", round(t_pa, 3), "ms", round(t_xa / t_pa, 2))
+
     # ---- Pallas rasterizer vs XLA binned (render-loss hot path) ----------
     from avi_talking_tpu.core.projection import batch_orth_proj
     from avi_talking_tpu.viz.rasterizer import (

@@ -143,3 +143,79 @@ def test_rasterize_auto_backends():
     np.testing.assert_array_equal(np.asarray(m_d), np.asarray(m_b))
     np.testing.assert_allclose(np.asarray(img_d), np.asarray(img_b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_keybias_attention_matches_xla_and_grads():
+    """Pallas key-bias attention (wav2vec2-encoder fast path): interpret-mode
+    forward parity + custom_vjp gradient parity vs the XLA formulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avi_talking_tpu.ops.pallas.attention import keybias_attention
+
+    B, H, T, d = 2, 3, 16, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    lens = np.array([12, 16])
+    kb = jnp.asarray(
+        np.where(np.arange(T)[None] < lens[:, None], 0.0, -1e9).astype(
+            np.float32))
+
+    def xla(q, k, v, kb):
+        s = jnp.einsum("bhtd,bhsd->bhts", q, k) + kb[:, None, None, :]
+        return jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(s, -1), v)
+
+    out = keybias_attention(q, k, v, kb, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla(q, k, v, kb)),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_p(q, k, v, kb):
+        return (keybias_attention(q, k, v, kb, True) ** 2).sum()
+
+    def loss_x(q, k, v, kb):
+        return (xla(q, k, v, kb) ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(q, k, v, kb)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(q, k, v, kb)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_encoder_layer_pallas_path_matches_xla(monkeypatch):
+    """EncoderLayer with the Pallas fast path forced on (interpret) equals
+    the XLA path, with and without a (B,1,1,S) padding bias."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avi_talking_tpu.audio import wav2vec2 as w2v
+    from avi_talking_tpu.ops.pallas import attention as pa
+
+    monkeypatch.setattr(pa, "pallas_available", lambda: True)
+    orig = pa.fused_keybias_attention
+
+    def interp(q, k, v, kb, interpret=False):
+        return orig(q, k, v, kb, interpret=True)
+
+    monkeypatch.setattr(pa, "fused_keybias_attention", interp)
+
+    cfg_p = w2v.dataclasses.replace(
+        w2v.Wav2Vec2Config.tiny(), use_pallas_attention=True)
+    cfg_x = w2v.Wav2Vec2Config.tiny()  # default: XLA path
+    layer_p = w2v.EncoderLayer(cfg_p)
+    layer_x = w2v.EncoderLayer(cfg_x)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 12, 32)).astype(np.float32))
+    variables = layer_x.init(jax.random.PRNGKey(0), x)
+    for bias in (None,
+                 jnp.asarray(np.where(np.arange(12) < 9, 0.0, -1e9)
+                             .astype(np.float32))[None, None, None, :]
+                 .repeat(2, 0)):
+        ref = layer_x.apply(variables, x, attn_bias=bias)
+        got = layer_p.apply(variables, x, attn_bias=bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
