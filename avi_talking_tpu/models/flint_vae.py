@@ -119,3 +119,92 @@ class FlintVAE(nn.Module):
         )
         loss = recon + kl_weight * kl
         return loss, {"loss": loss, "recon": recon, "kl": kl}
+
+
+class VectorQuantizer(nn.Module):
+    """VQ-VAE discretisation bottleneck (the reference's quantizer mode of
+    the motion prior: inferno motion_prior/VectorQuantizer.py:10-132,
+    learning2listen-style): nearest-codebook assignment, straight-through
+    gradients, alignment ||sg[z]-e||^2 / commitment ||z-sg[e]||^2 terms and
+    codebook-usage perplexity. Input is (B, T, D) feature sequences."""
+
+    codebook_size: int
+    vector_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> Dict[str, jax.Array]:
+        emb = self.param(
+            "embedding",
+            lambda rng: jax.random.uniform(
+                rng, (self.codebook_size, self.vector_dim), self.param_dtype,
+                -1.0 / self.codebook_size, 1.0 / self.codebook_size,
+            ),
+        )
+        flat = z.reshape(-1, self.vector_dim)
+        d = (
+            jnp.sum(flat ** 2, axis=1, keepdims=True)
+            + jnp.sum(emb ** 2, axis=1)[None]
+            - 2.0 * flat @ emb.T
+        )
+        idx = jnp.argmin(d, axis=1)
+        z_q = emb[idx].reshape(z.shape).astype(z.dtype)
+        alignment = jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2)
+        commitment = jnp.mean((z_q - jax.lax.stop_gradient(z)) ** 2)
+        z_st = z + jax.lax.stop_gradient(z_q - z)  # straight-through
+        one_hot = jax.nn.one_hot(idx, self.codebook_size, dtype=jnp.float32)
+        e_mean = one_hot.mean(axis=0)
+        perplexity = jnp.exp(-jnp.sum(e_mean * jnp.log(e_mean + 1e-10)))
+        return {
+            "quantized": z_st,
+            "codes": idx.reshape(z.shape[:-1]),
+            "alignment": alignment,
+            "commitment": commitment,
+            "perplexity": perplexity,
+        }
+
+
+class FlintVQVAE(nn.Module):
+    """VQ mode of the motion prior (``L2lVqVae`` with a quantizer,
+    L2lMotionPrior.py:54-73): encoder -> VectorQuantizer -> decoder.
+    Loss follows the classic VQ-VAE weighting (VectorQuantizer.py:80-84:
+    ``beta * codebook_alignment + codebook_commitment``):
+    recon + ||z_q - sg[z]||^2 (codebook) + beta * ||sg[z_q] - z||^2
+    (encoder commitment, beta=0.25)."""
+
+    cfg: FlintConfig
+    codebook_size: int = 256
+    beta: float = 0.25
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = FlintEncoder(c, in_dim=c.out_dim, name="encoder", **dd)
+        self.quantizer = VectorQuantizer(
+            self.codebook_size, c.feature_dim, name="quantizer", **dd)
+        self.decoder = FlintDecoder(c, name="decoder", **dd)
+
+    def encode(self, motion: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        return self.quantizer(self.encoder(motion, train=train))
+
+    def decode(self, latents: jax.Array, train: bool = False) -> jax.Array:
+        return self.decoder(latents, train=train)
+
+    def __call__(self, motion: jax.Array, train: bool = False):
+        q = self.encode(motion, train)
+        recon = self.decode(q["quantized"], train)
+        return {"reconstruction": recon, **q}
+
+    def loss(
+        self, motion: jax.Array, train: bool = False
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        out = self(motion, train=train)
+        recon = jnp.mean((out["reconstruction"] - motion) ** 2)
+        loss = recon + out["commitment"] + self.beta * out["alignment"]
+        return loss, {
+            "loss": loss, "recon": recon, "alignment": out["alignment"],
+            "commitment": out["commitment"], "perplexity": out["perplexity"],
+        }

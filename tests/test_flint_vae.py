@@ -105,3 +105,83 @@ def test_wav2vec2_time_masking_changes_output():
                              mask_time_indices=jnp.asarray(mask))
     out_plain = model.apply(params, audio, output_len=T)
     assert not np.allclose(np.asarray(out_masked), np.asarray(out_plain))
+
+
+def test_vector_quantizer_matches_torch_oracle():
+    """VQ bottleneck parity: distances/argmin/straight-through/terms match
+    the published VQ-VAE quantizer math (in-test torch oracle)."""
+    import torch
+
+    from avi_talking_tpu.models.flint_vae import VectorQuantizer
+
+    B, T, D, K = 2, 6, 8, 16
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((B, T, D)).astype(np.float32)
+    emb = rng.uniform(-1 / K, 1 / K, (K, D)).astype(np.float32)
+
+    q = VectorQuantizer(codebook_size=K, vector_dim=D)
+    out = q.apply({"params": {"embedding": jnp.asarray(emb)}}, jnp.asarray(z))
+
+    zt = torch.tensor(z).reshape(-1, D)
+    et = torch.tensor(emb)
+    d = (zt ** 2).sum(1, keepdim=True) + (et ** 2).sum(1) - 2 * zt @ et.t()
+    idx = torch.argmin(d, dim=1)
+    z_q = et[idx].view(B, T, D)
+    zb = torch.tensor(z)
+    align = ((z_q.detach() - zb) ** 2).mean()
+    commit = ((z_q - zb.detach()) ** 2).mean()
+    one_hot = torch.nn.functional.one_hot(idx, K).float().mean(0)
+    perp = torch.exp(-(one_hot * torch.log(one_hot + 1e-10)).sum())
+
+    np.testing.assert_array_equal(np.asarray(out["codes"]).ravel(), idx.numpy())
+    np.testing.assert_allclose(np.asarray(out["quantized"]), z_q.numpy(),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(out["alignment"]), float(align), rtol=1e-5)
+    np.testing.assert_allclose(float(out["commitment"]), float(commit), rtol=1e-5)
+    np.testing.assert_allclose(float(out["perplexity"]), float(perp), rtol=1e-5)
+
+    # straight-through: d quantized / d z == identity (codes fixed)
+    g = jax.grad(lambda zz: q.apply(
+        {"params": {"embedding": jnp.asarray(emb)}}, zz)["quantized"].sum())(
+            jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(z), atol=1e-6)
+
+
+def test_flint_vqvae_trains_and_uses_codebook():
+    import optax
+
+    from avi_talking_tpu.models.flint_vae import FlintVQVAE
+
+    cfg = _cfg()
+    model = FlintVQVAE(cfg, codebook_size=32)
+    B, T = 2, 4 * (2 ** cfg.quant_factor)
+    motion = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, T, cfg.out_dim))
+        .astype(np.float32) * 0.3)
+    variables = model.init(jax.random.PRNGKey(0), motion)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    out = model.apply(variables, motion)
+    assert out["reconstruction"].shape == motion.shape
+    assert out["codes"].shape == (B, T // 2 ** cfg.quant_factor)
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    def step(params, stats, opt):
+        def loss_fn(p):
+            (l, m), upd = model.apply(
+                {"params": p, "batch_stats": stats}, motion, train=True,
+                method=FlintVQVAE.loss, mutable=["batch_stats"])
+            return l, (m, upd["batch_stats"])
+        (l, (m, stats)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = tx.update(g, opt)
+        return optax.apply_updates(params, updates), stats, opt, m
+
+    params, stats, opt, m0 = step(params, stats, opt)
+    # codebook must receive gradients (commitment term)
+    for _ in range(15):
+        params, stats, opt, m = step(params, stats, opt)
+    assert m["loss"] < m0["loss"]
+    assert float(m["perplexity"]) > 1.0  # more than one code in use
+    assert not np.allclose(np.asarray(params["quantizer"]["embedding"]),
+                           np.asarray(variables["params"]["quantizer"]["embedding"]))
