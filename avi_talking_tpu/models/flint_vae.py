@@ -165,6 +165,63 @@ class VectorQuantizer(nn.Module):
         }
 
 
+class GumbelVectorQuantizer(nn.Module):
+    """dVAE-style Gumbel-softmax quantizer (the reference's alternative
+    quantizer type: inferno motion_prior/GumbelVectorQuantizer.py:34-113).
+    The encoder output is treated as LOGITS over the codebook
+    (vector dim == codebook_size upstream); soft assignments are
+    softmax((logits + gumbel)/tau), z_q their linear combination of
+    codebook vectors, plus a KL(uniform || assignments) regulariser.
+
+    Perplexity here is computed from the hard argmax one-hots; the
+    reference computes it on a never-filled zeros buffer
+    (GumbelVectorQuantizer.py:97-101 — always exp(0)=1), which we treat as
+    an upstream bug rather than behaviour to preserve."""
+
+    codebook_size: int
+    vector_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, logits: jax.Array, rng: Optional[jax.Array] = None,
+                 tau: float = 1.0) -> Dict[str, jax.Array]:
+        emb = self.param(
+            "embedding",
+            lambda r: jax.random.uniform(
+                r, (self.codebook_size, self.vector_dim), self.param_dtype,
+                -1.0 / self.codebook_size, 1.0 / self.codebook_size,
+            ),
+        )
+        B, T = logits.shape[:2]
+        flat = logits.reshape(B * T, -1)
+        if rng is not None:
+            u = jax.random.uniform(rng, flat.shape, flat.dtype, 1e-10, 1.0)
+            flat = flat + (-jnp.log(-jnp.log(u)))  # gumbel noise
+        soft = jax.nn.softmax(flat / tau, axis=-1)
+        z_q = (soft @ emb).reshape(B, T, self.vector_dim).astype(logits.dtype)
+        uniform = 1.0 / self.codebook_size
+        kl = jnp.mean(jnp.sum(
+            uniform * (jnp.log(uniform + 1e-10) - jnp.log(soft + 1e-10)),
+            axis=1))
+        idx = jnp.argmax(soft, axis=-1)
+        e_mean = jax.nn.one_hot(idx, self.codebook_size,
+                                dtype=jnp.float32).mean(axis=0)
+        perplexity = jnp.exp(-jnp.sum(e_mean * jnp.log(e_mean + 1e-10)))
+        return {
+            "quantized": z_q,
+            "soft_assignments": soft,
+            "codes": idx.reshape(B, T),
+            "kl_divergence": kl,
+            "perplexity": perplexity,
+        }
+
+    @staticmethod
+    def codebook_entry(emb: jax.Array, indices: jax.Array) -> jax.Array:
+        """Indices -> codebook vectors (get_codebook_entry, :122-138)."""
+        return emb[indices]
+
+
 class FlintVQVAE(nn.Module):
     """VQ mode of the motion prior (``L2lVqVae`` with a quantizer,
     L2lMotionPrior.py:54-73): encoder -> VectorQuantizer -> decoder.

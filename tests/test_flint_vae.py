@@ -185,3 +185,46 @@ def test_flint_vqvae_trains_and_uses_codebook():
     assert float(m["perplexity"]) > 1.0  # more than one code in use
     assert not np.allclose(np.asarray(params["quantizer"]["embedding"]),
                            np.asarray(variables["params"]["quantizer"]["embedding"]))
+
+
+def test_gumbel_quantizer_semantics():
+    """Gumbel quantizer: injected-noise formula, KL-to-uniform vs torch
+    oracle, codebook combination, deterministic (rng=None) path."""
+    import torch
+
+    from avi_talking_tpu.models.flint_vae import GumbelVectorQuantizer
+
+    B, T, K, D = 2, 5, 8, 8
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((B, T, K)).astype(np.float32)
+    emb = rng.uniform(-1 / K, 1 / K, (K, D)).astype(np.float32)
+    q = GumbelVectorQuantizer(codebook_size=K, vector_dim=D)
+    variables = {"params": {"embedding": jnp.asarray(emb)}}
+
+    # deterministic path (no gumbel noise): soft = softmax(logits / tau)
+    out = q.apply(variables, jnp.asarray(logits), tau=0.7)
+    soft_t = torch.softmax(torch.tensor(logits).view(-1, K) / 0.7, dim=-1)
+    zq_t = (soft_t @ torch.tensor(emb)).view(B, T, D)
+    np.testing.assert_allclose(np.asarray(out["quantized"]), zq_t.numpy(),
+                               atol=1e-6)
+    p = torch.full_like(soft_t, 1.0 / K)
+    kl_t = (p * (torch.log(p + 1e-10) - torch.log(soft_t + 1e-10))).sum(1).mean()
+    np.testing.assert_allclose(float(out["kl_divergence"]), float(kl_t),
+                               rtol=1e-5)
+    assert out["codes"].shape == (B, T)
+    assert float(out["perplexity"]) >= 1.0
+
+    # sampled path: different rngs -> different assignments; grads flow
+    o1 = q.apply(variables, jnp.asarray(logits), rng=jax.random.PRNGKey(1))
+    o2 = q.apply(variables, jnp.asarray(logits), rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(o1["soft_assignments"]),
+                           np.asarray(o2["soft_assignments"]))
+    g = jax.grad(lambda l: q.apply(
+        variables, l, rng=jax.random.PRNGKey(1))["quantized"].sum())(
+            jnp.asarray(logits))
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+    np.testing.assert_allclose(
+        np.asarray(GumbelVectorQuantizer.codebook_entry(
+            jnp.asarray(emb), jnp.asarray([0, 3]))),
+        emb[[0, 3]], atol=0)
