@@ -251,20 +251,31 @@ def train_flint_vae(
     logdir: Optional[str] = None,
     ckpt_dir: Optional[str] = None,
     seed: int = 0,
+    quantizer: Optional[str] = None,  # None (Gaussian VAE) | "vq"
+    codebook_size: int = 256,
+    beta: float = 0.25,
 ) -> Dict[str, Any]:
-    """Motion-prior (FLINT) VAE training loop."""
+    """Motion-prior (FLINT) training loop — Gaussian VAE (default) or VQ
+    mode (``quantizer="vq"``), matching the reference's L2lVqVae
+    with/without a quantizer (L2lMotionPrior.py:54-73)."""
     import optax
 
     from ..models.flint import FlintConfig
-    from ..models.flint_vae import FlintVAE
+    from ..models.flint_vae import FlintVAE, FlintVQVAE
 
     if logdir:
         set_summary_writer(logdir)
     cfg = flint_cfg or FlintConfig()
-    vae = FlintVAE(cfg)
+    if quantizer == "vq":
+        vae = FlintVQVAE(cfg, codebook_size=codebook_size, beta=beta)
+    elif quantizer is None:
+        vae = FlintVAE(cfg)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     rng = jax.random.PRNGKey(seed)
     first = next(iter(motion_batches))
-    variables = vae.init(rng, jnp.asarray(first), rng)
+    variables = (vae.init(rng, jnp.asarray(first)) if quantizer
+                 else vae.init(rng, jnp.asarray(first), rng))
     params, stats = variables["params"], variables.get("batch_stats", {})
     tx = optax.adamw(lr)
     opt = tx.init(params)
@@ -272,11 +283,17 @@ def train_flint_vae(
     @jax.jit
     def step(params, stats, opt, motion, key):
         def lf(p):
-            (loss, m), new_model_state = vae.apply(
-                {"params": p, "batch_stats": stats}, motion, key,
-                kl_weight, True, method=FlintVAE.loss,
-                mutable=["batch_stats"],
-            )
+            if quantizer == "vq":
+                (loss, m), new_model_state = vae.apply(
+                    {"params": p, "batch_stats": stats}, motion, True,
+                    method=FlintVQVAE.loss, mutable=["batch_stats"],
+                )
+            else:
+                (loss, m), new_model_state = vae.apply(
+                    {"params": p, "batch_stats": stats}, motion, key,
+                    kl_weight, True, method=FlintVAE.loss,
+                    mutable=["batch_stats"],
+                )
             return loss, (m, new_model_state)
 
         (loss, (m, new_state)), g = jax.value_and_grad(lf, has_aux=True)(params)

@@ -138,6 +138,26 @@ def test_train_flint_vae_driver():
     assert np.isfinite(res["metrics"]["recon"])
 
 
+
+def test_train_flint_vq_driver():
+    from avi_talking_tpu.models.flint import FlintConfig
+    from avi_talking_tpu.train.driver import train_flint_vae
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield rng.standard_normal((2, 16, 9)).astype(np.float32) * 0.1
+
+    cfg = FlintConfig(feature_dim=16, bottleneck_dim=16, quant_factor=2,
+                      nhead=4, intermediate_size=32, out_dim=9, n_exp=6)
+    res = train_flint_vae(batches(), total_steps=10, flint_cfg=cfg, lr=1e-3,
+                          quantizer="vq", codebook_size=16)
+    m = res["metrics"]
+    assert np.isfinite(m["recon"]) and np.isfinite(m["commitment"])
+    assert m["perplexity"] >= 1.0
+    assert "quantizer" in res["params"]
+
 def test_faceformer_trainer_full_stack():
     import jax.numpy as jnp
 
