@@ -25,7 +25,7 @@ import dataclasses
 import glob
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -80,6 +80,51 @@ def build_index(root: str, use_cache: bool = True) -> List[Dict]:
         except OSError:
             pass
     return clips
+
+
+@dataclasses.dataclass
+class ScreenedMeadAudio:
+    """Audio screening over one or more MEAD roots (the reference's
+    ``ScreenedMeadAudio``, /root/reference/train_diffusion_prior.py:40-75):
+    keep only clips that (a) scan successfully, (b) have a caption from the
+    generator, and (c) whose wav is on the ``good audio`` allowlist (a text
+    file of paths, one per line; reference ``meta_audio.txt``). Result:
+    sorted ``wav_paths`` (+ matching clip names / captions, which the
+    reference threw away but the instruct loop needs anyway)."""
+
+    roots: Sequence[str]
+    allowlist_path: Optional[str] = None
+    caption_db: Optional[object] = None  # .query(name) -> caption
+
+    def __post_init__(self):
+        allow = None
+        if self.allowlist_path:
+            with open(self.allowlist_path) as f:
+                allow = {ln.strip() for ln in f if ln.strip()}
+        if self.caption_db is None:
+            from .caption_gen import TalkClipGenerator
+
+            self.caption_db = TalkClipGenerator()
+        entries = []
+        for root in self.roots:
+            for clip in build_index(root):
+                wav = clip.get("wav")
+                if not wav:
+                    continue
+                try:
+                    caption = self.caption_db.query(clip["name"])
+                except Exception:
+                    continue
+                if allow is not None and wav not in allow:
+                    continue
+                entries.append((wav, clip["name"], caption))
+        entries.sort()
+        self.wav_paths = [e[0] for e in entries]
+        self.names = [e[1] for e in entries]
+        self.captions = [e[2] for e in entries]
+
+    def __len__(self) -> int:
+        return len(self.wav_paths)
 
 
 @dataclasses.dataclass

@@ -513,3 +513,22 @@ def test_prefetch_to_device():
 
     with _pytest.raises(RuntimeError, match="decode failed"):
         next(it)
+
+
+def test_screened_mead_audio(mead_root, tmp_path):
+    """ScreenedMeadAudio (train_diffusion_prior.py:40-75): caption + good-
+    audio allowlist screening over MEAD roots, sorted wav list."""
+    from avi_talking_tpu.data.mead import ScreenedMeadAudio
+
+    # no allowlist: every scanned clip with a wav + caption survives
+    s_all = ScreenedMeadAudio(roots=[mead_root])
+    assert len(s_all) == 2
+    assert s_all.wav_paths == sorted(s_all.wav_paths)
+    assert all(c.startswith("A ") for c in s_all.captions)
+
+    # allowlist restricts to listed wavs only
+    allow = tmp_path / "meta_audio.txt"
+    allow.write_text(s_all.wav_paths[0] + "\n")
+    s = ScreenedMeadAudio(roots=[mead_root], allowlist_path=str(allow))
+    assert s.wav_paths == [s_all.wav_paths[0]]
+    assert len(s.names) == len(s.captions) == 1
