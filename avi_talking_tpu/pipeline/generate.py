@@ -175,6 +175,7 @@ class AviTalkingPipeline:
     head: EmoteTalkingHead
     params: Dict[str, Any]  # {"clip", "brain", "prior", "head"}
     tokenizer: Any
+    mesh: Any = None  # optional Mesh for data-parallel serving (use_mesh)
 
     # ------------------------------------------------------------------
 
@@ -286,6 +287,30 @@ class AviTalkingPipeline:
 
     # ------------------------------------------------------------------
 
+    def use_mesh(self, mesh) -> None:
+        """Enable data-parallel serving over a ``jax.sharding.Mesh``: the
+        batched style-sampling and animate dispatches shard the request
+        batch over the mesh's "dp" axis (params replicated; GSPMD inserts
+        the collectives). Batches are padded up to a dp multiple internally,
+        so any request count works. The reference has no multi-GPU
+        inference at all (SURVEY.md §2.10)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        for name in ("_sample_style_fn", "_generate_fused_fn", "_animate_fn"):
+            self.__dict__.pop(name, None)
+
+    def _dp(self) -> int:
+        return int(self.mesh.shape["dp"]) if self.mesh is not None else 1
+
+    def _shard_batch(self, x):
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P("dp")))
+
     @functools.cached_property
     def _sample_style_fn(self):
         clip_model, brain, prior, cfg = self.clip_model, self.brain, self.prior, self.cfg
@@ -310,8 +335,11 @@ class AviTalkingPipeline:
         self, instruction: str | list[str], rng: jax.Array, cond_scale: float = 1.0
     ) -> jax.Array:
         texts = [instruction] if isinstance(instruction, str) else list(instruction)
-        ids = jnp.asarray(self.tokenizer(texts))
-        return self._sample_style_fn(self.params, ids, rng, cond_scale)
+        n = len(texts)
+        pad = (-n) % self._dp()  # dp mesh: pad to a shardable multiple
+        ids = self._shard_batch(jnp.asarray(self.tokenizer(texts + [""] * pad)))
+        out = self._sample_style_fn(self.params, ids, rng, cond_scale)
+        return out[:n]
 
     @functools.cached_property
     def _generate_fused_fn(self):
@@ -411,13 +439,19 @@ class AviTalkingPipeline:
                 )
             by_bucket.setdefault(fitting[0], []).append(i)
         for b, idxs in by_bucket.items():
+            # dp mesh: pad the batch dim to a shardable multiple (extra rows
+            # repeat the first clip and are never read back)
+            pad_n = (-len(idxs)) % self._dp()
+            pidx = idxs + [idxs[0]] * pad_n
             batch = np.stack(
                 [pad_to_bucket(normalize_audio(frames_list[i]).reshape(-1, 640),
-                               [b], axis=0) for i in idxs]
+                               [b], axis=0) for i in pidx]
             )
-            vl = jnp.asarray([lens[i] for i in idxs])
-            out = self._animate_fn(self.params["head"], jnp.asarray(batch),
-                                   styles[np.asarray(idxs)], vl)
+            vl = self._shard_batch(jnp.asarray([lens[i] for i in pidx]))
+            out = self._animate_fn(self.params["head"],
+                                   self._shard_batch(jnp.asarray(batch)),
+                                   self._shard_batch(styles[np.asarray(pidx)]),
+                                   vl)
             # ONE D2H fetch per field, then numpy slicing per clip: on-device
             # `out[field][j, :T]` would eagerly compile a fresh
             # dynamic_slice per distinct clip length — ~0.5 s each through a

@@ -176,3 +176,30 @@ def test_fsdp_train_step_matches_replicated():
     for a, b in zip(jax.tree.leaves(p_new), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+@requires_8
+def test_pipeline_dp_mesh_serving_matches_unsharded():
+    """use_mesh(dp): batched serving sharded over the mesh must reproduce
+    the unsharded outputs, including the non-divisible-batch pad path."""
+    from avi_talking_tpu.core import synthetic_assets
+    from avi_talking_tpu.pipeline import AviTalkingPipeline, PipelineConfig
+
+    pipe = AviTalkingPipeline.random_init(
+        PipelineConfig.tiny(), flame_assets=synthetic_assets(n_shape=8, n_exp=6)
+    )
+    rng = np.random.default_rng(0)
+    wavs = [rng.uniform(-0.3, 0.3, n).astype(np.float32)
+            for n in (8000, 12000, 16000)]
+    instrs = [f"caption {i}" for i in range(3)]
+    ref = pipe.generate_batch(wavs, instrs, seed=1, length_buckets=(64,))
+
+    sharded = AviTalkingPipeline.random_init(
+        PipelineConfig.tiny(), flame_assets=synthetic_assets(n_shape=8, n_exp=6)
+    )
+    sharded.use_mesh(make_mesh(dp=4, tp=2))
+    out = sharded.generate_batch(wavs, instrs, seed=1, length_buckets=(64,))
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(o["style_emb"], r["style_emb"],
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(o["exp"], r["exp"], atol=1e-4, rtol=1e-3)
