@@ -382,6 +382,38 @@ def cmd_diversity(args) -> int:
     return 0
 
 
+def cmd_import_prior(args) -> int:
+    """Reference diffusion-prior .pth (last/best) -> orbax checkpoint with
+    {"brain", "prior"} variables ready for the pipeline."""
+    import jax
+
+    from .infra.checkpoint import import_prior_checkpoint, save_checkpoint
+
+    variables = import_prior_checkpoint(args.pth)
+    save_checkpoint(os.path.abspath(args.out), variables)
+    n = sum(x.size for x in jax.tree.leaves(variables))
+    print(f"imported {n:,} prior params -> {args.out}")
+    return 0
+
+
+def cmd_import_emote(args) -> int:
+    """EMOTE torch checkpoint -> orbax variables for EmoteTalkingHead
+    (handles Lightning prefixes / squasher / FLINT nesting variants)."""
+    import jax
+
+    from .infra.checkpoint import load_torch_state_dict, save_checkpoint
+    from .infra.emote_import import emote_params_from_torch
+    from .models.emote import EmoteConfig
+
+    sd = load_torch_state_dict(args.ckpt)
+    cfg = EmoteConfig.tiny() if args.tiny else EmoteConfig()
+    variables = emote_params_from_torch(sd, cfg)
+    save_checkpoint(os.path.abspath(args.out), variables)
+    n = sum(x.size for x in jax.tree.leaves(variables))
+    print(f"imported {n:,} EMOTE params -> {args.out}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serve the caption corpus through the micro-batching InferenceServer
     (the production counterpart of ``instruct``'s per-sample loop)."""
@@ -559,6 +591,17 @@ def main(argv=None) -> int:
     sv.add_argument("--warmup", action="store_true")
     common(sv)
     sv.set_defaults(fn=cmd_serve)
+
+    ip = sub.add_parser("import-prior", help="reference prior .pth -> orbax")
+    ip.add_argument("--pth", required=True)
+    ip.add_argument("--out", default="checkpoints/prior")
+    ip.set_defaults(fn=cmd_import_prior)
+
+    ie = sub.add_parser("import-emote", help="EMOTE torch ckpt -> orbax")
+    ie.add_argument("--ckpt", required=True)
+    ie.add_argument("--out", default="checkpoints/emote")
+    ie.add_argument("--tiny", action="store_true")
+    ie.set_defaults(fn=cmd_import_emote)
 
     tc = sub.add_parser("translate-captions",
                         help="Style-B prose -> Style-A instructions (offline)")

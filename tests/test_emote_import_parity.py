@@ -249,3 +249,26 @@ def test_import_squasher_config_mismatch_raises():
     sd, _ = _build_torch_emote(cfg, squash="conv_before")
     with pytest.raises(ValueError, match="squasher"):
         emote_params_from_torch(sd, cfg)
+
+
+def test_cli_import_emote(tmp_path):
+    """`cli import-emote --tiny` converts a synthetic inferno-layout ckpt
+    into an orbax checkpoint matching emote_params_from_torch."""
+    import torch as _torch
+
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.infra.checkpoint import restore_checkpoint
+    from avi_talking_tpu.infra.emote_import import emote_params_from_torch
+
+    cfg = EmoteConfig.tiny()
+    sd, _ = _build_torch_emote(cfg)
+    path = str(tmp_path / "emote.ckpt")
+    _torch.save({"state_dict": sd}, path)
+    out = str(tmp_path / "orbax")
+    assert main(["import-emote", "--ckpt", path, "--out", out, "--tiny"]) == 0
+    ref = emote_params_from_torch(sd, cfg)
+    got = restore_checkpoint(out, target=ref)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

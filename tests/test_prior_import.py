@@ -129,3 +129,27 @@ def test_import_prior_checkpoint(tmp_path):
     )
     assert pred.shape == (2, 1, 16)
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_cli_import_prior(tmp_path):
+    """`cli import-prior` converts a reference-layout .pth into an orbax
+    checkpoint that restores to the same variables."""
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.infra.checkpoint import (
+        import_prior_checkpoint,
+        restore_checkpoint,
+    )
+
+    sd = {}
+    sd.update({f"voxel2clip.{k}": v for k, v in _brain_sd().items()})
+    sd.update({f"net.{k}": v for k, v in _prior_sd().items()})
+    path = str(tmp_path / "last.pth")
+    torch.save({"epoch": 1, "model_state_dict": sd}, path)
+    out = str(tmp_path / "orbax")
+    assert main(["import-prior", "--pth", path, "--out", out]) == 0
+    ref = import_prior_checkpoint(path)
+    got = restore_checkpoint(out, target=ref)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -2,7 +2,6 @@
 coalescing, batch/length bucketing, per-request unpadding, seed grouping,
 failure propagation — on the tiny random-weight pipeline."""
 
-import threading
 import time
 
 import numpy as np
