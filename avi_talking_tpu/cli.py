@@ -406,7 +406,12 @@ def cmd_import_emote(args) -> int:
     from .models.emote import EmoteConfig
 
     sd = load_torch_state_dict(args.ckpt)
-    cfg = EmoteConfig.tiny() if args.tiny else EmoteConfig()
+    if args.config:
+        from .infra.config import load_config
+
+        cfg = load_config(EmoteConfig, args.config)
+    else:
+        cfg = EmoteConfig.tiny() if args.tiny else EmoteConfig()
     variables = emote_params_from_torch(sd, cfg)
     save_checkpoint(os.path.abspath(args.out), variables)
     n = sum(x.size for x in jax.tree.leaves(variables))
@@ -601,6 +606,8 @@ def main(argv=None) -> int:
     ie.add_argument("--ckpt", required=True)
     ie.add_argument("--out", default="checkpoints/emote")
     ie.add_argument("--tiny", action="store_true")
+    ie.add_argument("--config", default=None,
+                    help="EmoteConfig JSON matching the ckpt layout")
     ie.set_defaults(fn=cmd_import_emote)
 
     tc = sub.add_parser("translate-captions",
