@@ -8,6 +8,7 @@ Subcommands:
   bench      run the single-chip RTF benchmark
   serve      micro-batched serving over a corpus (InferenceServer: batch
              coalescing + warmup precompile + p50/p99 stats)
+  import-prior / import-emote  reference torch checkpoints -> orbax
   train-prior diffusion-prior training loop (synthetic or real batches)
   train-emote staged EMOTE training loop (geometric -> disentangled)
   reconstruct EMOCA-style single-image -> FLAME codes + geometry render
