@@ -132,13 +132,17 @@ def cmd_stats(args) -> int:
 
 
 def cmd_reconstruct(args) -> int:
-    """EMOCA-style single-image reconstruction (the reference's EMOCA demo
-    apps, gdl_apps/EMOCA: image -> coarse codes -> FLAME -> shaded render).
+    """EMOCA-style reconstruction (the reference's EMOCA demo apps,
+    gdl_apps/EMOCA ``test_emoca_on_images``/``test_emoca_on_video``):
+    image(s) -> coarse codes -> FLAME -> shaded renders. ``--image`` may be
+    one PNG or a directory of frames (a decoded video).
 
     Runs the full compute path; with imported EMOCA weights
     (models.emoca.emoca_encoder_params_from_torch fed via --checkpoint) the
     codes are the real reconstruction, otherwise a random-init smoke.
     """
+    import glob as _glob
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -150,17 +154,27 @@ def cmd_reconstruct(args) -> int:
     from .viz.pngio import read_image_normalized, write_png
     from .viz.shading import render_shaded
 
-    img = read_image_normalized(args.image)  # (H, W, 3) [-1, 1]
-    x = jnp.asarray(img)[None] * 0.5 + 0.5  # encoder expects [0, 1]
+    if os.path.isdir(args.image):
+        paths = sorted(_glob.glob(os.path.join(args.image, "*.png")))
+        if not paths:
+            print(f"no PNG frames in {args.image}", file=sys.stderr)
+            return 1
+    else:
+        paths = [args.image]
+    imgs = np.stack([read_image_normalized(p) for p in paths])  # [-1, 1]
+    x = jnp.asarray(imgs) * 0.5 + 0.5  # encoder expects [0, 1]
 
     n_shape, n_exp = (8, 6) if args.tiny else (100, 50)
     enc = EmocaEncoder()  # full-size DECA/EMOCA code layout (236 + 50)
-    variables = enc.init(jax.random.PRNGKey(0), x)
+    variables = enc.init(jax.random.PRNGKey(0), x[:1])
     if args.checkpoint:
         from .infra.checkpoint import restore_checkpoint
 
         variables = restore_checkpoint(args.checkpoint, target=variables)
-    codes = enc.apply(variables, x)
+    # chunked encode (EmocaPreprocessor's max_b batching, Preprocessors.py:381)
+    apply = jax.jit(lambda v, xx: enc.apply(v, xx))
+    chunks = [apply(variables, x[i : i + 8]) for i in range(0, x.shape[0], 8)]
+    codes = {k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]}
     if args.tiny:  # slice onto the synthetic-asset PCA dims
         codes = {**codes, "shape": codes["shape"][:, :n_shape],
                  "exp": codes["exp"][:, :n_exp]}
@@ -181,13 +195,21 @@ def cmd_reconstruct(args) -> int:
     shaded = render_shaded(ndc, assets.faces, args.size, args.size)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    base = os.path.splitext(os.path.basename(args.image))[0]
+    base = os.path.splitext(os.path.basename(args.image.rstrip("/")))[0]
     np.savez(os.path.join(args.out_dir, f"{base}_codes.npz"),
              **{k: np.asarray(v) for k, v in codes.items()},
              vertices=np.asarray(verts))
-    write_png(os.path.join(args.out_dir, f"{base}_geometry.png"),
-              (np.clip(np.asarray(shaded[0]), 0, 1) * 255).astype(np.uint8))
-    print(f"wrote {base}_codes.npz + {base}_geometry.png to {args.out_dir}")
+    if len(paths) == 1:
+        write_png(os.path.join(args.out_dir, f"{base}_geometry.png"),
+                  (np.clip(np.asarray(shaded[0]), 0, 1) * 255).astype(np.uint8))
+        print(f"wrote {base}_codes.npz + {base}_geometry.png to {args.out_dir}")
+    else:
+        for p, frame in zip(paths, np.asarray(shaded)):
+            fn = os.path.splitext(os.path.basename(p))[0]
+            write_png(os.path.join(args.out_dir, f"{fn}_geometry.png"),
+                      (np.clip(frame, 0, 1) * 255).astype(np.uint8))
+        print(f"wrote {base}_codes.npz + {len(paths)} geometry frames to "
+              f"{args.out_dir}")
     return 0
 
 

@@ -176,3 +176,26 @@ def test_cli_reconstruct(tmp_path):
     assert z["exp"].shape == (1, 6) and z["vertices"].shape[2] == 3
     render = read_png(str(tmp_path / "out" / "face_geometry.png"))
     assert render.shape == (32, 32, 3)
+
+
+def test_cli_reconstruct_video_dir(tmp_path):
+    """reconstruct on a frame directory (test_emoca_on_video equivalent):
+    per-frame codes + geometry renders."""
+    import numpy as np
+
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.viz.pngio import write_png
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        write_png(str(frames / f"{i:04d}.png"),
+                  rng.integers(0, 255, (48, 48, 3), np.uint8))
+    rc = main(["reconstruct", "--image", str(frames), "--out-dir",
+               str(tmp_path / "out"), "--tiny", "--size", "32"])
+    assert rc == 0
+    z = np.load(tmp_path / "out" / "frames_codes.npz")
+    assert z["exp"].shape == (3, 6) and z["vertices"].shape[0] == 3
+    pngs = sorted((tmp_path / "out").glob("*_geometry.png"))
+    assert len(pngs) == 3
