@@ -40,6 +40,10 @@ class ServingConfig:
     batch_buckets: Sequence[int] = (1, 2, 4, 8, 16)
     length_buckets: Sequence[int] = (64, 128, 256, 512)
     sample_rate: int = 16_000
+    # concurrent in-flight micro-batches: host-side framing/tokenising of
+    # batch N overlaps device compute + D2H of batch N-1 (host prep is a
+    # large fraction of serving latency on 1-core frontends). 1 = serial.
+    pipeline_depth: int = 2
     # fetch the (B, T, V, 3) vertex tensor per batch? Off by default: it is
     # ~100 MB of D2H per batch (THE latency bottleneck on remote TPUs);
     # coeffs are a few KB and FLAME-decode anywhere.
@@ -66,6 +70,12 @@ class InferenceServer:
         self._closed = False
         self.stats: Dict[str, List[float]] = {
             "latency_ms": [], "batch_size": [], "padded_batch": []}
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, self.cfg.pipeline_depth))
+        self._inflight: "queue.Queue" = queue.Queue(
+            maxsize=max(1, self.cfg.pipeline_depth))
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -150,6 +160,7 @@ class InferenceServer:
         while True:
             batch = self._collect()
             if not batch:
+                self._pool.shutdown(wait=True)
                 return
             # one PRNG key covers a whole generate_batch call, so requests
             # with different seeds must not share a micro-batch
@@ -157,12 +168,20 @@ class InferenceServer:
             for r in batch:
                 groups.setdefault(r.seed, []).append(r)
             for grp in groups.values():
-                try:
-                    self._dispatch(grp)
-                except Exception as e:  # fail the whole micro-batch
-                    for r in grp:
-                        if not r.future.done():
-                            r.future.set_exception(e)
+                # bounded in-flight window: pipeline_depth batches overlap
+                # (framing of N with device compute of N-1)
+                self._inflight.put(None)
+                self._pool.submit(self._dispatch_safe, grp)
+
+    def _dispatch_safe(self, grp: List[_Request]) -> None:
+        try:
+            self._dispatch(grp)
+        except Exception as e:  # fail only this micro-batch
+            for r in grp:
+                if not r.future.done():
+                    r.future.set_exception(e)
+        finally:
+            self._inflight.get()
 
     def _dispatch(self, batch: List[_Request]) -> None:
         n = len(batch)
