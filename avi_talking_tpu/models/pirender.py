@@ -308,6 +308,117 @@ class EditingNet(nn.Module):
         return jnp.tanh(out)
 
 
+# --- torch import ------------------------------------------------------------
+
+
+def _np(t):
+    import numpy as np
+
+    return np.asarray(getattr(t, "detach", lambda: t)().cpu().numpy()
+                      if hasattr(t, "detach") else t)
+
+
+def pirender_params_from_torch(sd, cfg: PIRenderConfig):
+    """Reference ``net_G`` state dict -> flax FaceGenerator variables.
+
+    Layout (generators/face_model.py + base_function.py; the driver consumes
+    ``ckpt_dict['net_G']`` with a ``module.`` strip, models/faceformer.py:193-196):
+    ``mapping_net.first.0 / encoder{i}.1`` Conv1d;
+    ``warpping_net.hourglass.encoder.input_layer|encoder{i}.*`` and
+    ``...decoder.decoder{i}.*`` (ADAIN norms = mlp_shared.0/mlp_gamma/mlp_beta,
+    conv_1/conv_s are ConvTranspose2d on the decoder);
+    ``warpping_net.flow_out.0|2`` (LayerNorm2d weight stored (C,1,1) + conv);
+    ``editing_net.encoder.first|down{i}.model.*`` and
+    ``editing_net.decoder.up{i}|res{i}.res{r}|jump{i}|final.model.*``.
+    """
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in sd.items()}
+
+    def conv1d(key):
+        return {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 1, 0),
+                "bias": _np(sd[f"{key}.bias"])}
+
+    def conv2d(key):
+        return {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0),
+                "bias": _np(sd[f"{key}.bias"])}
+
+    def convT2d(key):  # (I, O, kh, kw) -> (kh, kw, O, I), transpose_kernel
+        return {"conv": {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0),
+                         "bias": _np(sd[f"{key}.bias"])}}
+
+    def adain(key):
+        return {
+            "mlp_shared": {"kernel": _np(sd[f"{key}.mlp_shared.0.weight"]).T,
+                           "bias": _np(sd[f"{key}.mlp_shared.0.bias"])},
+            "mlp_gamma": {"kernel": _np(sd[f"{key}.mlp_gamma.weight"]).T,
+                          "bias": _np(sd[f"{key}.mlp_gamma.bias"])},
+            "mlp_beta": {"kernel": _np(sd[f"{key}.mlp_beta.weight"]).T,
+                         "bias": _np(sd[f"{key}.mlp_beta.bias"])},
+        }
+
+    def ln2d(key):  # torch LayerNorm2d stores (C, 1, 1)
+        return {"weight": _np(sd[f"{key}.weight"]).reshape(-1),
+                "bias": _np(sd[f"{key}.bias"]).reshape(-1)}
+
+    P = {}
+    # mapping net
+    m = {"first": conv1d("mapping_net.first.0")}
+    for i in range(cfg.mapping_layers):
+        m[f"encoder{i}"] = conv1d(f"mapping_net.encoder{i}.1")
+    P["mapping_net"] = m
+
+    # warping net
+    hg = {"input_layer": conv2d("warpping_net.hourglass.encoder.input_layer")}
+    for i in range(cfg.encoder_layers):
+        b = f"warpping_net.hourglass.encoder.encoder{i}"
+        hg[f"encoder{i}"] = {
+            "conv_0": conv2d(f"{b}.conv_0"),
+            "conv_1": conv2d(f"{b}.conv_1"),
+            "norm_0": adain(f"{b}.norm_0"),
+            "norm_1": adain(f"{b}.norm_1"),
+        }
+    for i in range(cfg.encoder_layers - cfg.decoder_layers, cfg.encoder_layers):
+        b = f"warpping_net.hourglass.decoder.decoder{i}"
+        hg[f"decoder{i}"] = {
+            "conv_0": conv2d(f"{b}.conv_0"),
+            "conv_1": convT2d(f"{b}.conv_1"),
+            "conv_s": convT2d(f"{b}.conv_s"),
+            "norm_0": adain(f"{b}.norm_0"),
+            "norm_1": adain(f"{b}.norm_1"),
+            "norm_s": adain(f"{b}.norm_s"),
+        }
+    P["warpping_net"] = {
+        "hourglass": hg,
+        "flow_norm": ln2d("warpping_net.flow_out.0"),
+        "flow_out": conv2d("warpping_net.flow_out.2"),
+    }
+
+    # editing net
+    e = {
+        "first_conv": conv2d("editing_net.encoder.first.model.0"),
+        "first_norm": ln2d("editing_net.encoder.first.model.1"),
+    }
+    for i in range(cfg.editing_layers):
+        e[f"down{i}_conv"] = conv2d(f"editing_net.encoder.down{i}.model.0")
+        e[f"down{i}_norm"] = ln2d(f"editing_net.encoder.down{i}.model.1")
+    for i in range(cfg.editing_layers):
+        e[f"up{i}_conv"] = conv2d(f"editing_net.decoder.up{i}.model.0")
+        e[f"up{i}_norm"] = ln2d(f"editing_net.decoder.up{i}.model.1")
+        e[f"jump{i}_conv"] = conv2d(f"editing_net.decoder.jump{i}.model.0")
+        e[f"jump{i}_norm"] = ln2d(f"editing_net.decoder.jump{i}.model.1")
+        for r in range(cfg.num_res_blocks):
+            b = f"editing_net.decoder.res{i}.res{r}"
+            e[f"res{i}_{r}"] = {
+                "conv1": conv2d(f"{b}.conv1"),
+                "conv2": conv2d(f"{b}.conv2"),
+                "norm1": adain(f"{b}.norm1"),
+                "norm2": adain(f"{b}.norm2"),
+            }
+    e["final_conv"] = conv2d("editing_net.decoder.final.model.0")
+    P["editing_net"] = e
+    return {"params": P}
+
+
 class FaceGenerator(nn.Module):
     """MappingNet + WarpingNet + EditingNet (PIRender top level)."""
 

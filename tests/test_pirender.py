@@ -208,3 +208,274 @@ def test_pirender_render_loss_composition():
     # differentiable w.r.t. predicted coefficients
     g = jax.grad(lambda p: loss_fn(p, batch, jax.random.PRNGKey(2)))(pred)
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def _build_torch_facegen(cfg):
+    """Published PIRender FaceGenerator re-implemented in torch (use_spect
+    off, LeakyReLU(0.1), LayerNorm2d norms) for importer parity."""
+    act = torch.nn.LeakyReLU(0.1)
+
+    class TLN2d(torch.nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.weight = torch.nn.Parameter(torch.rand(c, 1, 1) + 0.5)
+            self.bias = torch.nn.Parameter(torch.randn(c, 1, 1) * 0.1)
+
+        def forward(self, x):
+            shape = x.size()[1:]
+            return torch.nn.functional.layer_norm(
+                x, shape, self.weight.expand(shape), self.bias.expand(shape))
+
+    class TAdain(torch.nn.Module):
+        def __init__(self, nc, feat):
+            super().__init__()
+            self.param_free_norm = torch.nn.InstanceNorm2d(nc, affine=False)
+            self.mlp_shared = torch.nn.Sequential(
+                torch.nn.Linear(feat, 128), torch.nn.ReLU())
+            self.mlp_gamma = torch.nn.Linear(128, nc)
+            self.mlp_beta = torch.nn.Linear(128, nc)
+
+        def forward(self, x, z):
+            n = self.param_free_norm(x)
+            h = self.mlp_shared(z.view(z.size(0), -1))
+            g = self.mlp_gamma(h).view(z.size(0), -1, 1, 1)
+            b = self.mlp_beta(h).view(z.size(0), -1, 1, 1)
+            return n * (1 + g) + b
+
+    class TMapping(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layer = cfg.mapping_layers
+            self.first = torch.nn.Sequential(
+                torch.nn.Conv1d(cfg.coeff_nc, cfg.descriptor_nc, 7, padding=0))
+            for i in range(cfg.mapping_layers):
+                setattr(self, f"encoder{i}", torch.nn.Sequential(
+                    act, torch.nn.Conv1d(cfg.descriptor_nc, cfg.descriptor_nc,
+                                         3, padding=0, dilation=3)))
+            self.pooling = torch.nn.AdaptiveAvgPool1d(1)
+
+        def forward(self, x):
+            out = self.first(x)
+            for i in range(self.layer):
+                out = getattr(self, f"encoder{i}")(out) + out[:, :, 3:-3]
+            return self.pooling(out)
+
+    class TEncBlock(torch.nn.Module):
+        def __init__(self, i_nc, o_nc):
+            super().__init__()
+            self.conv_0 = torch.nn.Conv2d(i_nc, o_nc, 4, 2, 1)
+            self.conv_1 = torch.nn.Conv2d(o_nc, o_nc, 3, 1, 1)
+            self.norm_0 = TAdain(i_nc, cfg.descriptor_nc)
+            self.norm_1 = TAdain(o_nc, cfg.descriptor_nc)
+
+        def forward(self, x, z):
+            x = self.conv_0(act(self.norm_0(x, z)))
+            return self.conv_1(act(self.norm_1(x, z)))
+
+    class TDecBlock(torch.nn.Module):
+        def __init__(self, i_nc, o_nc):
+            super().__init__()
+            self.conv_0 = torch.nn.Conv2d(i_nc, o_nc, 3, 1, 1)
+            self.conv_1 = torch.nn.ConvTranspose2d(o_nc, o_nc, 3, 2, 1, 1)
+            self.conv_s = torch.nn.ConvTranspose2d(i_nc, o_nc, 3, 2, 1, 1)
+            self.norm_0 = TAdain(i_nc, cfg.descriptor_nc)
+            self.norm_1 = TAdain(o_nc, cfg.descriptor_nc)
+            self.norm_s = TAdain(i_nc, cfg.descriptor_nc)
+
+        def forward(self, x, z):
+            xs = self.conv_s(act(self.norm_s(x, z)))
+            dx = self.conv_0(act(self.norm_0(x, z)))
+            dx = self.conv_1(act(self.norm_1(dx, z)))
+            return xs + dx
+
+    ngf, img_f = cfg.base_nc_warp, cfg.max_nc
+
+    class TEncoder(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.input_layer = torch.nn.Conv2d(cfg.image_nc, ngf, 7, 1, 3)
+            for i in range(cfg.encoder_layers):
+                setattr(self, f"encoder{i}", TEncBlock(
+                    min(ngf * 2 ** i, img_f), min(ngf * 2 ** (i + 1), img_f)))
+
+        def forward(self, x, z):
+            out = self.input_layer(x)
+            outs = [out]
+            for i in range(cfg.encoder_layers):
+                out = getattr(self, f"encoder{i}")(out, z)
+                outs.append(out)
+            return outs
+
+    class TDecoder(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            for i in list(range(cfg.encoder_layers - cfg.decoder_layers,
+                                cfg.encoder_layers))[::-1]:
+                i_nc = min(ngf * 2 ** (i + 1), img_f)
+                i_nc = i_nc * 2 if i != cfg.encoder_layers - 1 else i_nc
+                setattr(self, f"decoder{i}",
+                        TDecBlock(i_nc, min(ngf * 2 ** i, img_f)))
+
+        def forward(self, xs, z):
+            out = xs.pop()
+            for i in list(range(cfg.encoder_layers - cfg.decoder_layers,
+                                cfg.encoder_layers))[::-1]:
+                out = getattr(self, f"decoder{i}")(out, z)
+                out = torch.cat([out, xs.pop()], 1)
+            return out
+
+    class THourglass(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = TEncoder()
+            self.decoder = TDecoder()
+
+        def forward(self, x, z):
+            return self.decoder(self.encoder(x, z), z)
+
+    class TWarp(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.hourglass = THourglass()
+            out_nc = min(ngf * 2 ** (cfg.encoder_layers - cfg.decoder_layers),
+                         img_f) * 2
+            self.flow_out = torch.nn.Sequential(
+                TLN2d(out_nc), act, torch.nn.Conv2d(out_nc, 2, 7, 1, 3))
+
+        def forward(self, image, z):
+            h = self.hourglass(image, z)
+            flow = self.flow_out(h)
+            b, c, fh, fw = flow.shape
+            norm = 2 * torch.cat([flow[:, :1] / (fw - 1),
+                                  flow[:, 1:] / (fh - 1)], 1)
+            xg = 2 * torch.arange(fw) / (fw - 1) - 1
+            yg = 2 * torch.arange(fh) / (fh - 1) - 1
+            grid = torch.stack([xg.view(1, -1).repeat(fh, 1),
+                                yg.view(-1, 1).repeat(1, fw)], 2)
+            deform = grid[None] + norm.permute(0, 2, 3, 1)
+            if (fh, fw) != image.shape[2:]:
+                deform = torch.nn.functional.interpolate(
+                    deform.permute(0, 3, 1, 2), size=image.shape[2:],
+                    mode="bilinear").permute(0, 2, 3, 1)
+            warped = torch.nn.functional.grid_sample(
+                image, deform, align_corners=False)
+            return {"flow_field": flow, "warp_image": warped}
+
+    egf = cfg.base_nc_edit
+
+    class TFineRes(torch.nn.Module):
+        def __init__(self, nc):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(nc, nc, 3, 1, 1)
+            self.conv2 = torch.nn.Conv2d(nc, nc, 3, 1, 1)
+            self.norm1 = TAdain(nc, cfg.descriptor_nc)
+            self.norm2 = TAdain(nc, cfg.descriptor_nc)
+
+        def forward(self, x, z):
+            dx = act(self.norm1(self.conv1(x), z))
+            dx = self.norm2(self.conv2(x), z)
+            return dx + x
+
+    def seq_conv_ln(i_nc, o_nc, k, p, pool=False):
+        mods = [torch.nn.Conv2d(i_nc, o_nc, k, 1, p), TLN2d(o_nc), act]
+        if pool:
+            mods.append(torch.nn.AvgPool2d((2, 2)))
+        return torch.nn.Sequential(*mods)
+
+    class TEdit(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            L = cfg.editing_layers
+            enc = torch.nn.Module()
+            enc.first = torch.nn.Module()
+            enc.first.model = seq_conv_ln(cfg.image_nc * 2, egf, 7, 3)
+            for i in range(L):
+                d = torch.nn.Module()
+                d.model = seq_conv_ln(min(egf * 2 ** i, img_f),
+                                      min(egf * 2 ** (i + 1), img_f), 3, 1,
+                                      pool=True)
+                setattr(enc, f"down{i}", d)
+            self.encoder = enc
+            dec = torch.nn.Module()
+            for i in range(L):
+                i_nc = min(egf * 2 ** (i + 1), img_f)
+                o_nc = min(egf * 2 ** i, img_f)
+                u = torch.nn.Module()
+                u.model = seq_conv_ln(i_nc, o_nc, 3, 1)
+                setattr(dec, f"up{i}", u)
+                r = torch.nn.Module()
+                for j in range(cfg.num_res_blocks):
+                    setattr(r, f"res{j}", TFineRes(i_nc))
+                setattr(dec, f"res{i}", r)
+                jm = torch.nn.Module()
+                jm.model = seq_conv_ln(o_nc, o_nc, 3, 1)
+                setattr(dec, f"jump{i}", jm)
+            fin = torch.nn.Module()
+            fin.model = torch.nn.Sequential(
+                torch.nn.Conv2d(egf, cfg.image_nc, 7, 1, 3), torch.nn.Tanh())
+            dec.final = fin
+            self.decoder = dec
+            self.L = L
+
+        def forward(self, inp, warp, z):
+            x = torch.cat([inp, warp], 1)
+            x = self.encoder.first.model(x)
+            outs = [x]
+            for i in range(self.L):
+                x = getattr(self.encoder, f"down{i}").model(x)
+                outs.append(x)
+            out = outs.pop()
+            for i in list(range(self.L))[::-1]:
+                r = getattr(self.decoder, f"res{i}")
+                for j in range(cfg.num_res_blocks):
+                    out = getattr(r, f"res{j}")(out, z)
+                out = getattr(self.decoder, f"up{i}").model(
+                    torch.nn.functional.interpolate(out, scale_factor=2))
+                out = getattr(self.decoder, f"jump{i}").model(outs.pop()) + out
+            return self.decoder.final.model(out)
+
+    class TFaceGen(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.mapping_net = TMapping()
+            self.warpping_net = TWarp()
+            self.editing_net = TEdit()
+
+        def forward(self, image, coeff):
+            z = self.mapping_net(coeff)
+            out = self.warpping_net(image, z)
+            out["fake_image"] = self.editing_net(
+                image, out["warp_image"], z)
+            return out
+
+    return TFaceGen()
+
+
+def test_facegenerator_full_torch_import_parity():
+    """pirender_params_from_torch maps a published-layout net_G state dict
+    onto our FaceGenerator bit-compatibly (flow, warp and fake image)."""
+    from avi_talking_tpu.models.pirender import (
+        FaceGenerator,
+        PIRenderConfig,
+        pirender_params_from_torch,
+    )
+
+    torch.manual_seed(0)
+    cfg = PIRenderConfig.tiny()
+    tm = _build_torch_facegen(cfg).eval()
+    B, H = 2, 64
+    img = torch.randn(B, 3, H, H) * 0.3
+    coeff = torch.randn(B, cfg.coeff_nc, 27)
+    with torch.no_grad():
+        ref = tm(img, coeff)
+
+    fm = FaceGenerator(cfg)
+    variables = pirender_params_from_torch(tm.state_dict(), cfg)
+    out = fm.apply(variables, jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+                   jnp.asarray(coeff.numpy().transpose(0, 2, 1)))
+    for key, tref in (("flow_field", ref["flow_field"]),
+                      ("warp_image", ref["warp_image"]),
+                      ("fake_image", ref["fake_image"])):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), tref.numpy().transpose(0, 2, 3, 1),
+            atol=5e-4, rtol=1e-3, err_msg=key)
