@@ -479,3 +479,58 @@ def test_facegenerator_full_torch_import_parity():
         np.testing.assert_allclose(
             np.asarray(out[key]), tref.numpy().transpose(0, 2, 3, 1),
             atol=5e-4, rtol=1e-3, err_msg=key)
+
+
+def test_pirender_trainer_adversarial_stage():
+    """Optional GAN term (the reference BaseTrainer's net_D interface):
+    G sees hinge + feature-matching, D trains on stop-grad fakes."""
+    import jax.numpy as jnp
+    import optax
+
+    from avi_talking_tpu.models.discriminator import MultiscaleDiscriminator
+    from avi_talking_tpu.models.pirender import FaceGenerator, PIRenderConfig
+    from avi_talking_tpu.train.perceptual import PerceptualLoss, Vgg19Features
+    from avi_talking_tpu.train.pirender_trainer import (
+        PIRenderTrainer,
+        make_pirender_optimizer,
+    )
+
+    cfg = PIRenderConfig.tiny()
+    gen = FaceGenerator(cfg)
+    rng = np.random.default_rng(4)
+    batch = {
+        "input_image": jnp.asarray(
+            rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)),
+        "coeff_window": jnp.asarray(
+            rng.standard_normal((1, 27, cfg.coeff_nc)).astype(np.float32)),
+        "target_image": jnp.asarray(
+            rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)),
+    }
+    params = gen.init(jax.random.PRNGKey(0), batch["input_image"],
+                      batch["coeff_window"])
+    vgg = Vgg19Features(taps=("relu_1_1",))
+    vgg_params = vgg.init(jax.random.PRNGKey(1), batch["input_image"])["params"]
+    disc = MultiscaleDiscriminator(num_d=1, ndf=4, n_layers=2, norm="none")
+    d_params = disc.init(jax.random.PRNGKey(2), batch["target_image"])
+    tx, tx_d = make_pirender_optimizer(1e-4), optax.adam(1e-4)
+    trainer = PIRenderTrainer(
+        generator=gen, tx=tx,
+        perceptual_warp=PerceptualLoss(vgg, layers=("relu_1_1",), num_scales=1),
+        perceptual_final=PerceptualLoss(vgg, layers=("relu_1_1",),
+                                        num_scales=1, use_style_loss=True),
+        vgg_params=vgg_params,
+        discriminator=disc, tx_d=tx_d,
+    )
+    step = trainer.jitted_train_step()
+    d_step = trainer.jitted_d_train_step()
+    opt, d_opt = tx.init(params), tx_d.init(d_params)
+    p, opt, m = step(params, opt, batch, False, d_params)
+    assert {"gan_g", "feature_matching"} <= set(m)
+    assert np.isfinite(float(m["loss"]))
+    d_params2, d_opt, d_loss0 = d_step(d_params, d_opt, p, batch)
+    for _ in range(5):
+        d_params2, d_opt, d_loss = d_step(d_params2, d_opt, p, batch)
+    assert float(d_loss) < float(d_loss0)  # D learns on a fixed G
+    # without d_params the step is the plain perceptual objective
+    _, _, m_plain = step(params, tx.init(params), batch, False)
+    assert "gan_g" not in m_plain
