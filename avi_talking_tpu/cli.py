@@ -165,7 +165,9 @@ def cmd_reconstruct(args) -> int:
     x = jnp.asarray(imgs) * 0.5 + 0.5  # encoder expects [0, 1]
 
     n_shape, n_exp = (8, 6) if args.tiny else (100, 50)
-    enc = EmocaEncoder()  # full-size DECA/EMOCA code layout (236 + 50)
+    n_detail = 4 if args.tiny else 128
+    # full-size DECA/EMOCA code layout (236 + 50), plus E_detail on request
+    enc = EmocaEncoder(with_detail=args.detail, n_detail=n_detail)
     variables = enc.init(jax.random.PRNGKey(0), x[:1])
     if args.checkpoint:
         from .infra.checkpoint import restore_checkpoint
@@ -194,11 +196,47 @@ def cmd_reconstruct(args) -> int:
     ndc = jnp.stack([proj[..., 0], -proj[..., 1], -proj[..., 2]], axis=-1)
     shaded = render_shaded(ndc, assets.faces, args.size, args.size)
 
+    detail_maps = None
+    if args.detail:
+        # detail displacement branch (Visualizer3DMM's EMOCA detail model):
+        # UVs from --uv-obj (head_template.obj) or planar template projection
+        from .models.deca_detail import DecaDetailModel, DetailGenerator
+
+        if args.uv_obj:
+            from .viz.meshio import read_obj
+
+            mesh = read_obj(args.uv_obj)
+            uv_coords = jnp.asarray(mesh.uvs)
+            uv_faces = jnp.asarray(
+                mesh.face_uvs if mesh.face_uvs is not None else mesh.faces)
+        else:
+            t = np.asarray(assets.v_template)
+            span = t.max(0) - t.min(0) + 1e-6
+            uv_coords = jnp.asarray(((t - t.min(0)) / span)[:, :2])
+            uv_faces = assets.faces
+        gen = DetailGenerator(
+            latent_dim=3 + n_exp + n_detail,
+            init_size=2 if args.tiny else 8)
+        gvars = gen.init(jax.random.PRNGKey(1),
+                         jnp.zeros((1, 3 + n_exp + n_detail)))
+        model = DecaDetailModel(
+            generator=gen, variables=gvars, faces=assets.faces,
+            uv_coords=uv_coords, uv_faces=uv_faces,
+            uv_size=64 if args.tiny else 256)
+        detail_maps, _ = model.decode(
+            codes["pose"][:, 3:], codes["exp"], codes["detail"], verts)
+
     os.makedirs(args.out_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(args.image.rstrip("/")))[0]
     np.savez(os.path.join(args.out_dir, f"{base}_codes.npz"),
              **{k: np.asarray(v) for k, v in codes.items()},
              vertices=np.asarray(verts))
+    if detail_maps is not None:
+        for j, p in enumerate(paths):
+            fn = os.path.splitext(os.path.basename(p))[0]
+            nm = (np.asarray(detail_maps[j]) * 0.5 + 0.5)
+            write_png(os.path.join(args.out_dir, f"{fn}_detail_normals.png"),
+                      (np.clip(nm, 0, 1) * 255).astype(np.uint8))
     if len(paths) == 1:
         write_png(os.path.join(args.out_dir, f"{base}_geometry.png"),
                   (np.clip(np.asarray(shaded[0]), 0, 1) * 255).astype(np.uint8))
@@ -582,6 +620,10 @@ def main(argv=None) -> int:
     rc.add_argument("--tiny", action="store_true")
     rc.add_argument("--flame-npz", default=None)
     rc.add_argument("--checkpoint", default=None)
+    rc.add_argument("--detail", action="store_true",
+                    help="also run the DECA detail displacement branch")
+    rc.add_argument("--uv-obj", default=None,
+                    help="head_template.obj for real FLAME UVs")
     rc.set_defaults(fn=cmd_reconstruct)
 
     te = sub.add_parser("train-emote", help="staged EMOTE training loop")

@@ -61,9 +61,15 @@ class DecaEncoder(nn.Module):
 
 
 class EmocaEncoder(nn.Module):
-    """DECA coarse encoder + EMOCA expression encoder (exp replaced)."""
+    """DECA coarse encoder + EMOCA expression encoder (exp replaced).
+
+    ``with_detail`` adds DECA's E_detail (a third ResNet-50+MLP tower ->
+    ``n_detail``-d displacement latent, gdl/models/DECA.py E_detail /
+    encode ``detailcode``) feeding models.deca_detail.DetailGenerator."""
 
     n_exp: int = 50
+    with_detail: bool = False
+    n_detail: int = 128
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,6 +78,9 @@ class EmocaEncoder(nn.Module):
         codes = split_deca_code(code)
         exp = DecaEncoder(self.n_exp, self.dtype, name="expression")(images, train)
         codes["exp"] = exp
+        if self.with_detail:
+            codes["detail"] = DecaEncoder(
+                self.n_detail, self.dtype, name="detail")(images, train)
         return codes
 
 

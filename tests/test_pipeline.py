@@ -199,3 +199,25 @@ def test_cli_reconstruct_video_dir(tmp_path):
     assert z["exp"].shape == (3, 6) and z["vertices"].shape[0] == 3
     pngs = sorted((tmp_path / "out").glob("*_geometry.png"))
     assert len(pngs) == 3
+
+
+def test_cli_reconstruct_with_detail(tmp_path):
+    """--detail runs the DECA detail displacement branch and writes a UV
+    detail-normal map alongside the coarse outputs."""
+    import numpy as np
+
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.viz.pngio import write_png
+
+    p = tmp_path / "face.png"
+    write_png(str(p), np.random.default_rng(1).integers(
+        0, 255, (48, 48, 3), np.uint8))
+    rc = main(["reconstruct", "--image", str(p), "--out-dir",
+               str(tmp_path / "out"), "--tiny", "--size", "32", "--detail"])
+    assert rc == 0
+    z = np.load(tmp_path / "out" / "face_codes.npz")
+    assert z["detail"].shape == (1, 4)
+    from avi_talking_tpu.viz.pngio import read_png
+
+    nm = read_png(str(tmp_path / "out" / "face_detail_normals.png"))
+    assert nm.shape == (64, 64, 3)
