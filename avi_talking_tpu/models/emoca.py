@@ -173,6 +173,24 @@ def deca_encoder_params_from_torch(sd: Mapping[str, Any], prefix: str = ""):
     }
 
 
+def emoca_encoder_params_from_torch(
+    sd: Mapping[str, Any], prefix: str = "", with_detail: bool = False
+):
+    """EMOCA/DECA checkpoint -> EmocaEncoder variables: the coarse tower
+    from ``E_flame.*``, EMOCA's expression tower from ``E_expression.*``
+    and (``with_detail``) the displacement tower from ``E_detail.*`` —
+    all ResnetEncoder layouts (gdl/models/DECA.py attribute names)."""
+    towers = [("coarse", "E_flame."), ("expression", "E_expression.")]
+    if with_detail:
+        towers.append(("detail", "E_detail."))
+    P: Dict[str, Any] = {}
+    S: Dict[str, Any] = {}
+    for name, pref in towers:
+        sub = deca_encoder_params_from_torch(sd, prefix=f"{prefix}{pref}")
+        P[name], S[name] = sub["params"], sub["batch_stats"]
+    return {"params": P, "batch_stats": S}
+
+
 def emotion_module_params_from_torch(sd: Mapping[str, Any], prefix: str = ""):
     rn = resnet50_params_from_torch(sd, prefix=f"{prefix}backbone.")
     return {

@@ -246,3 +246,64 @@ def test_preprocessors():
     sv = ser.init(jax.random.PRNGKey(0), audio, output_len=5)
     sp = SpeechEmotionRecognitionPreprocessor(ser, sv)
     assert sp(audio, output_len=5)["gt_audio_emotion_logits"].shape == (1, 8)
+
+
+def test_emoca_encoder_full_importer_with_detail():
+    """emoca_encoder_params_from_torch assembles E_flame/E_expression/
+    E_detail ResnetEncoder towers into EmocaEncoder variables that run."""
+    import torch as _torch
+
+    from avi_talking_tpu.models.emoca import (
+        EmocaEncoder,
+        emoca_encoder_params_from_torch,
+    )
+
+    # synthetic DECA-layout state dict: reuse the torch oracle resnet50 the
+    # module importer is pinned against, plus the 2-layer MLP heads
+
+
+def test_emoca_encoder_full_importer_with_detail():
+    """emoca_encoder_params_from_torch: E_flame/E_expression/E_detail
+    ResnetEncoder towers -> EmocaEncoder variables, output parity."""
+    from avi_talking_tpu.models.emoca import (
+        EmocaEncoder,
+        emoca_encoder_params_from_torch,
+        split_deca_code,
+    )
+
+    torch.manual_seed(3)
+
+    class TResnetEncoder(tnn.Module):
+        def __init__(self, outsize):
+            super().__init__()
+            self.encoder = TResNet50()
+            self.layers = tnn.Sequential(
+                tnn.Linear(2048, 1024), tnn.ReLU(), tnn.Linear(1024, outsize))
+
+        def forward(self, x):
+            return self.layers(self.encoder(x))
+
+    n_exp, n_detail = 50, 16
+    towers = {"E_flame.": TResnetEncoder(236).eval(),
+              "E_expression.": TResnetEncoder(n_exp).eval(),
+              "E_detail.": TResnetEncoder(n_detail).eval()}
+    sd = {}
+    for pref, m in towers.items():
+        for k, v in m.state_dict().items():
+            sd[pref + k] = v
+    x = torch.randn(1, 3, 64, 64) * 0.2 + 0.4
+    with torch.no_grad():
+        ref = split_deca_code(
+            jnp.asarray(towers["E_flame."](x).numpy()))
+        ref_exp = towers["E_expression."](x).numpy()
+        ref_detail = towers["E_detail."](x).numpy()
+
+    enc = EmocaEncoder(n_exp=n_exp, with_detail=True, n_detail=n_detail)
+    variables = emoca_encoder_params_from_torch(sd, with_detail=True)
+    codes = enc.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(codes["shape"]),
+                               np.asarray(ref["shape"]), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(codes["exp"]), ref_exp,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(codes["detail"]), ref_detail,
+                               atol=2e-4, rtol=1e-3)
