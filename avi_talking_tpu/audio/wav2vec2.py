@@ -24,7 +24,7 @@ randomly-initialised torch HF model and requires <1e-4 agreement.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -50,15 +50,14 @@ class Wav2Vec2Config:
     layer_norm_eps: float = 1e-5
     feat_extract_norm: str = "group"  # "group" for base, "layer" for large
     do_stable_layer_norm: bool = False
-    # On TPU, use the fused Pallas key-bias attention kernel (Pallas fwd +
-    # XLA bwd via custom_vjp). Wins 1.4-1.6x over the XLA attention at
-    # LARGE shapes (isolated kernel, B=16 H=12 T=552 d=64: f32 1.50 vs
-    # 2.14 ms; bf16 1.27 vs 2.06 ms) but ties/loses inside the full model
-    # at the common serving shape (B=4, T=200: 8.7 vs 8.2 ms whole-model
-    # fwd) where XLA's fusion with the surrounding projections wins —
-    # so OPT-IN: enable for long-clip / large-batch serving.
-    # Ignored off-TPU (tests/CPU take the XLA path either way).
-    use_pallas_attention: bool = False
+    # Fused Pallas key-bias attention (Pallas fwd + XLA bwd custom_vjp) on
+    # TPU. Measured crossover (v5e sweep, H=12 d=64, ratio = xla/pallas):
+    #   B=4 T=200 0.70 | B=8 T=200 0.77 | B=16 T=200 0.89 | B=4 T=552 0.69
+    #   B=8 T=552 1.23 | B=16 T=384 1.45 | B=32 T=200 1.73 | B=16 T=552 1.77
+    # "auto" (default) enables the kernel when the static grid is big
+    # enough to win (B*H*T >= 48_000); True/False force. Ignored off-TPU
+    # (tests/CPU take the XLA path either way).
+    use_pallas_attention: Any = "auto"  # "auto" | True | False
 
     @classmethod
     def tiny(cls, hidden: int = 32, layers: int = 2, heads: int = 4) -> "Wav2Vec2Config":
@@ -246,8 +245,10 @@ class EncoderLayer(nn.Module):
         q = q.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3) * (head_dim**-0.5)
         k = k.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3)
+        mode = c.use_pallas_attention
+        want = mode is True or (mode == "auto" and B * h * T >= 48_000)
         use_pallas = False
-        if c.use_pallas_attention and (
+        if want and (
             attn_bias is None or attn_bias.shape[1] == attn_bias.shape[2] == 1
         ):
             from ..ops.pallas.attention import pallas_available

@@ -219,3 +219,36 @@ def test_encoder_layer_pallas_path_matches_xla(monkeypatch):
         got = layer_p.apply(variables, x, attn_bias=bias)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_keybias_auto_policy_threshold(monkeypatch):
+    """use_pallas_attention='auto' picks the kernel only above the measured
+    B*H*T crossover; small shapes keep the XLA path even on TPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avi_talking_tpu.audio import wav2vec2 as w2v
+    from avi_talking_tpu.ops.pallas import attention as pa
+
+    monkeypatch.setattr(pa, "pallas_available", lambda: True)
+    calls = []
+    orig = pa.fused_keybias_attention
+
+    def spy(q, k, v, kb, interpret=False):
+        calls.append(q.shape)
+        return orig(q, k, v, kb, interpret=True)
+
+    monkeypatch.setattr(pa, "fused_keybias_attention", spy)
+
+    cfg = w2v.Wav2Vec2Config.tiny(hidden=32, heads=4)  # auto by default
+    layer = w2v.EncoderLayer(cfg)
+    small = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((2, 16, 32)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), small)
+    layer.apply(variables, small)  # 2*4*16 = 128 << threshold
+    assert calls == []
+    big = jnp.asarray(np.random.default_rng(1)
+                      .standard_normal((32, 400, 32)).astype(np.float32))
+    layer.apply(variables, big)  # 32*4*400 = 51_200 >= 48_000
+    assert len(calls) == 1
