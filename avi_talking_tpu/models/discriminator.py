@@ -25,8 +25,7 @@ call for JAX-side training.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Mapping, Optional, Sequence
+from typing import Any, Dict, List, Mapping, Optional
 
 import jax
 import jax.numpy as jnp

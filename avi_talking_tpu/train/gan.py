@@ -18,7 +18,7 @@ entry per scale) of per-stage feature lists [input, f1, ..., logits].
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import jax
 import jax.numpy as jnp
