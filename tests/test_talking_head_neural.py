@@ -28,7 +28,7 @@ from avi_talking_tpu.train.talking_head import NeuralLosses, TalkingHeadTrainer
 def _small_renderer(faces):
     from avi_talking_tpu.viz.visualizer import FixedViewRenderer
 
-    return FixedViewRenderer(faces, image_size=32)
+    return FixedViewRenderer(faces, image_size=24)
 
 
 def _neural_suite(renderer, rng):
@@ -40,9 +40,9 @@ def _neural_suite(renderer, rng):
     )
 
     lip_net = LipReadingNet()
-    lip_vars = lip_net.init(rng, jnp.zeros((1, 2, 32, 32, 1)))
+    lip_vars = lip_net.init(rng, jnp.zeros((1, 2, 24, 24, 1)))
     emo_mod = EmotionRecognitionModule(n_expression=8)
-    emo_vars = emo_mod.init(rng, jnp.zeros((1, 32, 32, 3)))
+    emo_vars = emo_mod.init(rng, jnp.zeros((1, 24, 24, 3)))
     vemo_cls = VideoEmotionClassifier(
         n_classes=8, feature_dim=16, num_layers=1, nhead=2, input_dim=2048
     )
