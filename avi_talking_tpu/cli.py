@@ -219,6 +219,36 @@ def cmd_reconstruct(args) -> int:
             init_size=2 if args.tiny else 8)
         gvars = gen.init(jax.random.PRNGKey(1),
                          jnp.zeros((1, 3 + n_exp + n_detail)))
+        if args.detail_checkpoint:
+            # real D_detail weights: orbax dir (our layout) or a torch
+            # EMOCA/DECA ckpt routed through the deca_detail importer
+            if os.path.isdir(args.detail_checkpoint):
+                from .infra.checkpoint import restore_checkpoint
+
+                gvars = restore_checkpoint(args.detail_checkpoint,
+                                           target=gvars)
+            else:
+                import torch as _torch
+
+                from .models.deca_detail import (
+                    detail_generator_params_from_torch,
+                )
+
+                sd = _torch.load(args.detail_checkpoint, map_location="cpu",
+                                 weights_only=False)
+                if isinstance(sd, dict) and "state_dict" in sd:
+                    sd = sd["state_dict"]
+                pref = ""
+                for cand in ("D_detail.", "deca.D_detail.",
+                             "model.D_detail."):
+                    if any(k.startswith(cand) for k in sd):
+                        pref = cand
+                        break
+                gvars = detail_generator_params_from_torch(sd, prefix=pref)
+        else:
+            print("reconstruct --detail: no --detail-checkpoint given; "
+                  "the detail branch runs with RANDOM weights (smoke path, "
+                  "normal maps are noise)", file=sys.stderr)
         model = DecaDetailModel(
             generator=gen, variables=gvars, faces=assets.faces,
             uv_coords=uv_coords, uv_faces=uv_faces,
@@ -491,8 +521,8 @@ def cmd_serve(args) -> int:
     scfg = ServingConfig(
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
-        batch_buckets=tuple(
-            b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch),
+        batch_buckets=tuple(sorted({args.max_batch} | {
+            b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch})),
         length_buckets=tuple(args.length_buckets),
         return_vertices=args.save_video,  # meshes only when rendering
     )
@@ -622,6 +652,9 @@ def main(argv=None) -> int:
     rc.add_argument("--checkpoint", default=None)
     rc.add_argument("--detail", action="store_true",
                     help="also run the DECA detail displacement branch")
+    rc.add_argument("--detail-checkpoint", default=None,
+                    help="D_detail weights: orbax dir or torch EMOCA ckpt "
+                         "(without it the detail branch is random-init)")
     rc.add_argument("--uv-obj", default=None,
                     help="head_template.obj for real FLAME UVs")
     rc.set_defaults(fn=cmd_reconstruct)

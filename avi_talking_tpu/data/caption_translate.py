@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
+import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -170,7 +171,7 @@ def translate_style_b_to_a(
     """One Style-B caption -> one Style-A instruction (deterministic per
     (sentence, seed))."""
     parsed = parse_style_b(sentence)
-    rng = np.random.default_rng((seed, hash(sentence) & 0x7FFFFFFF))
+    rng = np.random.default_rng((seed, zlib.crc32(sentence.encode("utf-8"))))
     adjs, nouns = _LEXICON[parsed.emotion][parsed.level]
     adj = adjs[int(rng.integers(0, len(adjs)))]
     aus = list(parsed.aus[:max_aus])

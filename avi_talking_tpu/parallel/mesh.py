@@ -176,15 +176,24 @@ def fsdp_shard_params(
 def state_shardings_like(
     state, params: Dict[str, Any], p_shardings, mesh: Mesh
 ):
-    """Shardings for an optimizer state: leaves that are param-shaped (Adam
-    mu/nu) inherit the matching param's sharding; everything else (step
-    counters, scalars) is replicated."""
-    by_shape: Dict[tuple, NamedSharding] = {}
-    for leaf, sh in zip(jax.tree.leaves(params), jax.tree.leaves(p_shardings)):
-        by_shape.setdefault(tuple(leaf.shape), sh)
+    """Shardings for an optimizer state: subtrees that structurally mirror
+    the params pytree (Adam mu/nu, sgd momentum trace, ...) inherit the
+    param shardings leaf-for-leaf; everything else (step counters, scalars)
+    is replicated. Matching is structural (treedef equality), NOT by shape,
+    so two same-shaped params with different shardings (e.g. one tp-split,
+    one FSDP-split) keep their own layouts in the optimizer moments."""
     rep = NamedSharding(mesh, P())
+    p_struct = jax.tree.structure(params)
+    mirrored = jax.tree.unflatten(p_struct, jax.tree.leaves(p_shardings))
 
-    def pick(leaf):
-        return by_shape.get(tuple(getattr(leaf, "shape", ())), rep)
+    def is_params_like(node):
+        try:
+            return jax.tree.structure(node) == p_struct
+        except Exception:
+            return False
 
-    return jax.tree.map(pick, state)
+    def pick(node):
+        return mirrored if is_params_like(node) \
+            else jax.tree.map(lambda _: rep, node)
+
+    return jax.tree.map(pick, state, is_leaf=is_params_like)

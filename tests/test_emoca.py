@@ -249,20 +249,6 @@ def test_preprocessors():
 
 
 def test_emoca_encoder_full_importer_with_detail():
-    """emoca_encoder_params_from_torch assembles E_flame/E_expression/
-    E_detail ResnetEncoder towers into EmocaEncoder variables that run."""
-    import torch as _torch
-
-    from avi_talking_tpu.models.emoca import (
-        EmocaEncoder,
-        emoca_encoder_params_from_torch,
-    )
-
-    # synthetic DECA-layout state dict: reuse the torch oracle resnet50 the
-    # module importer is pinned against, plus the 2-layer MLP heads
-
-
-def test_emoca_encoder_full_importer_with_detail():
     """emoca_encoder_params_from_torch: E_flame/E_expression/E_detail
     ResnetEncoder towers -> EmocaEncoder variables, output parity."""
     from avi_talking_tpu.models.emoca import (
