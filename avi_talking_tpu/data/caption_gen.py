@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -85,8 +86,12 @@ class TalkClipGenerator:
     max_aus: int = 4
 
     def caption(self, emotion: str, intensity: int, key: str = "") -> str:
+        # crc32, NOT str hash: Python str hashing is salted per process, so
+        # hash(key) would make the "same clip -> same caption" contract hold
+        # only within one process (the same bug the round-2 advisor flagged
+        # in caption_translate).
         rng = np.random.default_rng(
-            (self.seed, hash(key) & 0x7FFFFFFF, intensity)
+            (self.seed, zlib.crc32(key.encode("utf-8")), intensity)
         )
         adjs = EMOTION_ADJECTIVES.get(emotion, (emotion,))
         adj = adjs[int(rng.integers(0, len(adjs)))]

@@ -175,10 +175,12 @@ def train_prior(
 
     def save_tagged(step: int, val: Dict[str, float]) -> Dict[str, float]:
         nonlocal best_val_loss
+        improved = val["loss"] < best_val_loss
+        if improved:
+            best_val_loss = val["loss"]  # tracked even without a ckpt_dir
         if not ckpt_dir or jax.process_index() != 0:
             return val
-        if val["loss"] < best_val_loss:
-            best_val_loss = val["loss"]
+        if improved:
             # layout matches the train->serve graft target
             # (pipeline.load_prior_checkpoint: {"params", "step"})
             ckpt_lib.save_checkpoint(
