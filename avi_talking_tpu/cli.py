@@ -297,30 +297,58 @@ def cmd_train_emote(args) -> int:
     cfg = EmoteConfig.tiny() if args.tiny else EmoteConfig()
     head = EmoteTalkingHead(cfg)
     B, T = args.batch_size, args.frames - args.frames % cfg.flint.latent_frame_size
-    rng = np.random.default_rng(0)
 
-    def batches():
-        while True:
-            yield {
-                "raw_audio": jnp.asarray(
-                    rng.standard_normal((B, T, 640)).astype(np.float32)),
-                "expression": jnp.asarray(
-                    np.eye(9, dtype=np.float32)[rng.integers(0, 9, B)]),
-                "intensity": jnp.asarray(
-                    np.eye(3, dtype=np.float32)[rng.integers(0, 3, B)]),
-                "identity": jnp.asarray(
-                    np.eye(32, dtype=np.float32)[rng.integers(0, 32, B)]),
-                "shape": jnp.zeros((B, cfg.n_shape)),
-                "gt_exp": jnp.asarray(
-                    rng.standard_normal((B, T, cfg.flint.n_exp)).astype(np.float32) * 0.1),
-                "gt_jaw": jnp.asarray(
-                    rng.standard_normal((B, T, 3)).astype(np.float32) * 0.05),
-            }
+    if args.root:
+        # real MEAD/EMOCA data root (data_loader.py:229-374 equivalent)
+        from .data import MeadEmocaDataset
+        from .data.train_batches import EmoteBatchBuilder, emote_batches
 
-    it = batches()
-    first = next(it)
+        ds = MeadEmocaDataset(root=args.root, seq_length=T)
+        builder = EmoteBatchBuilder(
+            ds, frames=T, n_exp=cfg.flint.n_exp, n_shape=cfg.n_shape)
+        if len(builder) == 0:
+            raise SystemExit(f"no usable MEAD clips under {args.root}")
+        tr_b, va_b = builder.split(args.val_fraction)
+        print(f"data root: {len(tr_b)} train / {len(va_b)} val clips")
+        batches = lambda: emote_batches(tr_b, min(B, len(tr_b)),  # noqa: E731
+                                        epochs=None)
+        vB = min(B, len(va_b))
+        val_batches = lambda: emote_batches(  # noqa: E731
+            va_b, vB, shuffle=False, epochs=1)
+        first = next(emote_batches(tr_b, min(B, len(tr_b)), epochs=1))
+    else:
+        rng = np.random.default_rng(0)
+
+        def synth(rng):
+            while True:
+                yield {
+                    "raw_audio": jnp.asarray(
+                        rng.standard_normal((B, T, 640)).astype(np.float32)),
+                    "expression": jnp.asarray(
+                        np.eye(9, dtype=np.float32)[rng.integers(0, 9, B)]),
+                    "intensity": jnp.asarray(
+                        np.eye(3, dtype=np.float32)[rng.integers(0, 3, B)]),
+                    "identity": jnp.asarray(
+                        np.eye(32, dtype=np.float32)[rng.integers(0, 32, B)]),
+                    "shape": jnp.zeros((B, cfg.n_shape)),
+                    "gt_exp": jnp.asarray(
+                        rng.standard_normal((B, T, cfg.flint.n_exp)).astype(np.float32) * 0.1),
+                    "gt_jaw": jnp.asarray(
+                        rng.standard_normal((B, T, 3)).astype(np.float32) * 0.05),
+                }
+
+        batches = lambda: synth(rng)  # noqa: E731
+        # DISJOINT synthetic val stream (not the first training batch):
+        # early stop / best-val must not be measured on training data
+        import itertools
+
+        val_cached = list(itertools.islice(
+            synth(np.random.default_rng(99_991)), 2))
+        val_batches = lambda: iter(val_cached)  # noqa: E731
+        first = next(synth(np.random.default_rng(0)))
+
     cond = StyleCondition(first["expression"], first["intensity"],
-                          first["identity"], first["shape"])
+                          first["identity"], first.get("shape"))
     params = head.init(jax.random.PRNGKey(0), first["raw_audio"], cond)
     stages = [
         EmoteStage(name="geometric", steps=args.steps, lr=args.lr),
@@ -328,7 +356,7 @@ def cmd_train_emote(args) -> int:
                    disentangle="condition_exchange"),
     ]
     res = train_emote(head, params, batches, stages=stages,
-                      val_batches=lambda: iter([first]),
+                      val_batches=val_batches,
                       val_every=args.val_every, run_dir=args.run_dir,
                       early_stop_patience=args.early_stop_patience)
     print(f"done: {res['total_steps']} steps, best val {res['best_val']:.4f}")
@@ -491,16 +519,56 @@ def cmd_train_faceformer(args) -> int:
 
     if args.root:
         from .data import MeadEmocaDataset, batch_iterator
+        from .data.train_batches import FaceFormerBatchBuilder, FanConditioner
 
         ds = MeadEmocaDataset(root=args.root, seq_length=T)
-        batches = batch_iterator(ds, batch_size=B, epochs=None)
+        builder = FaceFormerBatchBuilder(
+            ds, frames=T, coeff_dim=cfg.vertice_dim,
+            load_images=cfg.with_condition_merge)
+        if len(builder) == 0:
+            raise SystemExit(f"no usable MEAD clips under {args.root}")
+        batches = batch_iterator(
+            builder, batch_size=min(B, len(builder)), epochs=None)
+
+        conditioner = None
+        if cfg.with_condition_merge:
+            # in-loop FanEncoder conditioning over the decoded crops
+            # (faceformer.py:334-373): eye embeds from raw frames, emo
+            # embeds from lip-masked shuffled frames, ref style coeff
+            from .models import FanEncoder, fan_encoder_params_from_torch
+
+            fan = FanEncoder()
+            if args.fan_checkpoint:
+                import torch as _torch
+
+                sd = _torch.load(args.fan_checkpoint, map_location="cpu",
+                                 weights_only=False)
+                if isinstance(sd, dict) and "state_dict" in sd:
+                    sd = sd["state_dict"]
+                fan_vars = fan_encoder_params_from_torch(sd)
+            else:
+                fan_vars = fan.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+                print("train-faceformer: no --fan-checkpoint; the frozen "
+                      "FanEncoder is RANDOM-init (smoke semantics)",
+                      file=sys.stderr)
+            conditioner = FanConditioner(fan, fan_vars, seed=args.seed)
 
         def batch():  # noqa: F811 - data-backed override
             b = next(batches)
-            return {
+            out = {
                 "audio": jnp.asarray(b["audio"]),
                 "coeff": jnp.asarray(b["coeff"][..., : cfg.vertice_dim]),
             }
+            if conditioner is not None:
+                if "img" not in b or not hasattr(b["img"], "ndim"):
+                    raise SystemExit(
+                        "with_condition_merge needs detection crops under "
+                        "the data root (EMOCA detections/*.png); none found")
+                out.update(conditioner.condition(
+                    np.asarray(b["img"]), np.asarray(b["coeff"])))
+                out["ref_coeff"] = out["ref_coeff"][..., : cfg.vertice_dim]
+            return out
 
     first = batch()
     params = model.init(
@@ -733,6 +801,9 @@ def main(argv=None) -> int:
     tf.add_argument("--seq-length", type=int, default=25)
     tf.add_argument("--lr", type=float, default=1e-4)
     tf.add_argument("--root", default=None, help="MEAD/EMOCA data root")
+    tf.add_argument("--fan-checkpoint", default=None,
+                    help="torch FanEncoder ckpt for the frozen conditioning "
+                         "tower (random-init without it)")
     tf.add_argument("--ckpt-dir", default=None)
     common(tf)
     tf.set_defaults(fn=cmd_train_faceformer)
@@ -762,6 +833,11 @@ def main(argv=None) -> int:
     te.add_argument("--early-stop-patience", type=int, default=0)
     te.add_argument("--run-dir", default=None)
     te.add_argument("--tiny", action="store_true")
+    te.add_argument("--root", default=None,
+                    help="EMOCA-preprocessed MEAD root; without it the loop "
+                         "runs on synthetic batches")
+    te.add_argument("--val-fraction", type=float, default=0.1,
+                    help="held-out clip fraction of --root")
     te.set_defaults(fn=cmd_train_emote)
 
     t = sub.add_parser("train-prior", help="diffusion prior training loop")

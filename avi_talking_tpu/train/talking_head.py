@@ -97,20 +97,37 @@ class TalkingHeadTrainer:
     def _geometric_losses(self, out, batch, B_eff, metrics):
         loss = 0.0
         exp, jaw = out["exp"][:B_eff], out["jaw"][:B_eff]
+        # padded real-data batches carry frame_mask (B, T): means run over
+        # valid frames only; velocity terms need BOTH endpoints valid
+        mask = batch.get("frame_mask")
+        if mask is not None:
+            m = mask[:B_eff][..., None]  # (B, T, 1)
+            mv = m[:, 1:] * m[:, :-1]
+
+            def mmean(err, w):
+                return jnp.sum(err * w) / (
+                    jnp.sum(w) * err.shape[-1] + 1e-8
+                )
+        else:
+            m = mv = None
+            mmean = lambda err, w: jnp.mean(err)  # noqa: E731
         if "gt_exp" in batch:
             gt = batch["gt_exp"][:B_eff]
-            l_exp = jnp.mean((exp - gt) ** 2)
-            l_expv = jnp.mean((jnp.diff(exp, axis=1) - jnp.diff(gt, axis=1)) ** 2)
+            l_exp = mmean((exp - gt) ** 2, m)
+            l_expv = mmean((jnp.diff(exp, axis=1) - jnp.diff(gt, axis=1)) ** 2, mv)
             loss += self.exp_weight * l_exp + self.velocity_weight * l_expv
             metrics.update(loss_exp=l_exp, loss_exp_vel=l_expv)
         if "gt_jaw" in batch:
             gt = batch["gt_jaw"][:B_eff]
-            l_jaw = jnp.mean((jaw - gt) ** 2)
-            l_jawv = jnp.mean((jnp.diff(jaw, axis=1) - jnp.diff(gt, axis=1)) ** 2)
+            l_jaw = mmean((jaw - gt) ** 2, m)
+            l_jawv = mmean((jnp.diff(jaw, axis=1) - jnp.diff(gt, axis=1)) ** 2, mv)
             loss += self.jaw_weight * l_jaw + self.velocity_weight * l_jawv
             metrics.update(loss_jaw=l_jaw, loss_jaw_vel=l_jawv)
         if "gt_vertices" in batch and "vertices" in out:
-            l_v = jnp.mean((out["vertices"][:B_eff] - batch["gt_vertices"][:B_eff]) ** 2)
+            err_v = (out["vertices"][:B_eff] - batch["gt_vertices"][:B_eff]) ** 2
+            l_v = (jnp.sum(err_v * m[..., None]) /
+                   (jnp.sum(m) * err_v.shape[-2] * err_v.shape[-1] + 1e-8)
+                   ) if m is not None else jnp.mean(err_v)
             loss += self.vertex_weight * l_v
             metrics["loss_vertex"] = l_v
         return loss
@@ -201,8 +218,12 @@ class TalkingHeadTrainer:
             identity=batch["identity"],
             shape=batch.get("shape"),
         )
+        valid_len = None
+        if "frame_mask" in batch:  # padded real-data windows
+            valid_len = batch["frame_mask"].sum(axis=-1).astype(jnp.int32)
         out = self.head.apply(
-            params, batch["raw_audio"], cond, gt_shape=batch.get("gt_shape")
+            params, batch["raw_audio"], cond,
+            gt_shape=batch.get("gt_shape"), valid_len=valid_len,
         )
         metrics: Dict[str, jax.Array] = {}
         loss = self._geometric_losses(out, batch, B_orig, metrics)
