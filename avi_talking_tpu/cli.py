@@ -646,6 +646,43 @@ def cmd_import_prior(args) -> int:
     save_checkpoint(os.path.abspath(args.out), variables)
     n = sum(x.size for x in jax.tree.leaves(variables))
     print(f"imported {n:,} prior params -> {args.out}")
+    # real prior weights need the REAL tokenizer; pull it from the user's
+    # HF cache alongside the weights when the asset slot is still empty
+    # (reference loads both together, diffusion_prior.py:36-44)
+    from .text import find_tokenizer_assets
+
+    if find_tokenizer_assets() is None:
+        import os as _os
+        from pathlib import Path as _Path
+
+        from .text.clip_bpe import import_tokenizer_assets
+
+        hf = _Path(_os.environ.get("HF_HOME",
+                                   _Path.home() / ".cache" / "huggingface"))
+        try:
+            dest = import_tokenizer_assets(hf)
+            print(f"vendored CLIP tokenizer from the HF cache -> {dest}")
+        except (FileNotFoundError, ValueError):
+            print("WARNING: no CLIP tokenizer vocab found. The imported "
+                  "prior will REFUSE to run until you run "
+                  "`import-clip --src <dir with vocab.json+merges.txt>`.",
+                  file=sys.stderr)
+    return 0
+
+
+def cmd_import_clip(args) -> int:
+    """Vendor the CLIP BPE vocab (vocab.json + merges.txt) into
+    assets/clip_tokenizer/ with validation, so product entry points stop
+    falling back to the hash tokenizer. ``--src`` may be the file pair's
+    directory, an HF hub cache root, or any tree holding the pair."""
+    from .text.clip_bpe import import_tokenizer_assets
+
+    dest = import_tokenizer_assets(args.src, dest=args.dest)
+    from .text import ClipBpeTokenizer
+
+    tok = ClipBpeTokenizer.from_dir(dest)
+    print(f"validated + vendored CLIP tokenizer ({tok.vocab_size} tokens) "
+          f"-> {dest}")
     return 0
 
 
@@ -886,6 +923,15 @@ def main(argv=None) -> int:
     ip.add_argument("--pth", required=True)
     ip.add_argument("--out", default="checkpoints/prior")
     ip.set_defaults(fn=cmd_import_prior)
+
+    ic = sub.add_parser(
+        "import-clip",
+        help="vendor + validate the CLIP BPE vocab into assets/clip_tokenizer")
+    ic.add_argument("--src", required=True,
+                    help="dir with vocab.json+merges.txt, or an HF cache root")
+    ic.add_argument("--dest", default=None,
+                    help="target dir (default: repo assets/clip_tokenizer)")
+    ic.set_defaults(fn=cmd_import_clip)
 
     ie = sub.add_parser("import-emote", help="EMOTE torch ckpt -> orbax")
     ie.add_argument("--ckpt", required=True)

@@ -316,6 +316,86 @@ def find_tokenizer_assets(explicit: Optional[os.PathLike] = None) -> Optional[Pa
     return None
 
 
+def validate_tokenizer_assets(path: os.PathLike) -> "ClipBpeTokenizer":
+    """Load + sanity-check a vocab/merges pair; raises ValueError on a bad
+    layout. Checks (layout rules of the real openai/clip vocab file, see
+    learn_bpe's docstring and /root/reference/models/diffusion_prior.py:36-44
+    for the reference's HF usage):
+
+      * both specials present, at ids V-2 (<|startoftext|>) and V-1
+        (<|endoftext|>) — for the real 49408 vocab that is 49406/49407;
+      * all 256 byte symbols and their </w> variants present;
+      * ids form exactly 0..V-1 with no gaps/duplicates;
+      * a pinned sample round-trips encode->decode.
+    """
+    path = Path(path)
+    tok = ClipBpeTokenizer.from_dir(path)
+    v = tok.vocab
+    V = len(v)
+    if v.get("<|startoftext|>") != V - 2 or v.get("<|endoftext|>") != V - 1:
+        raise ValueError(
+            f"{path}: specials misplaced (start={v.get('<|startoftext|>')}, "
+            f"end={v.get('<|endoftext|>')}, vocab={V}); expected V-2/V-1"
+        )
+    missing = [s for s in _BYTE_ENC.values()
+               if s not in v or s + "</w>" not in v]
+    if missing:
+        raise ValueError(f"{path}: {len(missing)} byte symbols missing "
+                         f"(e.g. {missing[:3]})")
+    ids = sorted(v.values())
+    if ids != list(range(V)):
+        raise ValueError(f"{path}: vocab ids are not a dense 0..{V - 1} range")
+    # punctuation-free pinned sample: decode joins word pieces with single
+    # spaces, so any punctuation would be space-separated and never match
+    sample = "a joyful person speaks with lifted cheek and parted lips"
+    if tok.decode(tok.encode(sample)) != sample:
+        raise ValueError(f"{path}: pinned sample does not round-trip")
+    return tok
+
+
+def import_tokenizer_assets(
+    src: os.PathLike, dest: Optional[os.PathLike] = None
+) -> Path:
+    """Copy + validate vocab.json/merges.txt into the repo asset slot.
+
+    ``src`` may be the file pair's directory, an HF hub cache root (its
+    ``models--*clip*/snapshots/*`` layout is searched), or a directory tree
+    to scan. Validates BEFORE copying and re-validates the copy. Returns
+    the destination directory (default ``assets/clip_tokenizer/``, the slot
+    ``find_tokenizer_assets`` probes first after the env var).
+    """
+    import shutil
+
+    src = Path(src)
+    found: Optional[Path] = None
+    if (src / "vocab.json").is_file() and (src / "merges.txt").is_file():
+        found = src
+    else:
+        pats = ["models--*clip*/snapshots/*", "hub/models--*clip*/snapshots/*",
+                "**/"]
+        for pat in pats:
+            for c in sorted(src.glob(pat)):
+                if (c / "vocab.json").is_file() and (c / "merges.txt").is_file():
+                    found = c
+                    break
+            if found:
+                break
+    if found is None:
+        raise FileNotFoundError(
+            f"no vocab.json+merges.txt pair under {src} (pass the snapshot "
+            "dir of a cached openai/clip model, or any dir holding the pair)"
+        )
+    validate_tokenizer_assets(found)
+    if dest is None:
+        dest = Path(__file__).resolve().parents[2] / "assets" / "clip_tokenizer"
+    dest = Path(dest)
+    dest.mkdir(parents=True, exist_ok=True)
+    for fn in ("vocab.json", "merges.txt"):
+        shutil.copyfile(found / fn, dest / fn)
+    validate_tokenizer_assets(dest)
+    return dest
+
+
 # --------------------------------------------------------------------------
 # BPE learning (offline vocab construction; standard Sennrich et al. loop)
 # --------------------------------------------------------------------------

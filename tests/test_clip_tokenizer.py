@@ -156,3 +156,72 @@ def test_load_tokenizer_resolution(monkeypatch, learned):
     assert ids.max() < 99 and ids.shape == (1, 16)
     with pytest.raises(RuntimeError):
         load_tokenizer(99, 16, require_real=True)
+
+
+def test_validate_tokenizer_assets(learned, tmp_path):
+    """Layout validation: good pair passes; corrupted layouts are refused
+    (specials misplaced / missing byte symbols / id gaps)."""
+    import json as _json
+
+    from avi_talking_tpu.text.clip_bpe import validate_tokenizer_assets
+
+    _, _, out = learned
+    tok = validate_tokenizer_assets(out)
+    n_merges = len((out / "merges.txt").read_text().strip().split("\n")) - 1
+    assert tok.vocab_size == 512 + n_merges + 2
+
+    # specials misplaced
+    bad = tmp_path / "bad1"
+    bad.mkdir()
+    v = _json.loads((out / "vocab.json").read_text())
+    v["<|startoftext|>"], v["a"] = v["a"], v["<|startoftext|>"]
+    (bad / "vocab.json").write_text(_json.dumps(v))
+    (bad / "merges.txt").write_text((out / "merges.txt").read_text())
+    with pytest.raises(ValueError, match="specials"):
+        validate_tokenizer_assets(bad)
+
+    # id gap
+    bad2 = tmp_path / "bad2"
+    bad2.mkdir()
+    v2 = _json.loads((out / "vocab.json").read_text())
+    some_regular = next(k for k in v2 if not k.startswith("<|") and v2[k] < 500)
+    v2[some_regular] = len(v2) + 100
+    (bad2 / "vocab.json").write_text(_json.dumps(v2))
+    (bad2 / "merges.txt").write_text((out / "merges.txt").read_text())
+    with pytest.raises(ValueError):
+        validate_tokenizer_assets(bad2)
+
+
+def test_cli_import_clip_from_hf_cache(learned, tmp_path, capsys):
+    """cli import-clip: finds the pair inside a simulated HF hub cache,
+    validates, copies to the asset slot; load_tokenizer then runs with NO
+    hash-fallback warning."""
+    import shutil
+    import warnings
+
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.pipeline.generate import load_tokenizer
+    from avi_talking_tpu.text import ClipBpeTokenizer
+
+    _, _, out = learned
+    cache = tmp_path / "hf" / "hub"
+    snap = cache / "models--openai--clip-vit-large-patch14" / "snapshots" / "abc123"
+    snap.mkdir(parents=True)
+    for fn in ("vocab.json", "merges.txt"):
+        shutil.copyfile(out / fn, snap / fn)
+
+    dest = tmp_path / "assets" / "clip_tokenizer"
+    rc = main(["import-clip", "--src", str(tmp_path / "hf"),
+               "--dest", str(dest)])
+    assert rc == 0
+    assert "validated + vendored" in capsys.readouterr().out
+    assert (dest / "vocab.json").is_file() and (dest / "merges.txt").is_file()
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning -> failure
+        tok = load_tokenizer(49408, 77, assets_dir=dest, require_real=True)
+    assert isinstance(tok, ClipBpeTokenizer)
+
+    # with real weights and no vocab anywhere it refuses loudly
+    with pytest.raises(FileNotFoundError):
+        main(["import-clip", "--src", str(tmp_path / "empty_nowhere")])
