@@ -18,15 +18,55 @@ unmatched keys listed so real checkpoints can be mapped incrementally.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+import re
+from typing import Any, Dict, List, Mapping, Tuple
 
 from ..audio.import_hf import wav2vec2_params_from_torch
 from ..models.emote import EmoteConfig
 from . import torch_compat as tc
 
 
+class _TrackedDict(dict):
+    """Dict view that records every key it serves (with its full original
+    prefix), so the importer can prove it consumed the whole checkpoint."""
+
+    def __init__(self, data: Mapping[str, Any], consumed: set, prefix: str = ""):
+        super().__init__(data)
+        self._consumed = consumed
+        self._prefix = prefix
+
+    def __getitem__(self, k):
+        self._consumed.add(self._prefix + k)
+        return super().__getitem__(k)
+
+
 def _strip(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
-    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    data = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    if isinstance(sd, _TrackedDict):
+        return _TrackedDict(data, sd._consumed, sd._prefix + prefix)
+    return data
+
+
+# checkpoint families a full EMOTE .ckpt carries that the inference graph
+# deliberately does not use (encoder half discarded at load,
+# FaceFormerDecoder.py:1028; masks are non-learned buffers; BN step
+# counters are bookkeeping)
+IGNORED_KEY_PATTERNS: Tuple[str, ...] = (
+    r"\.num_batches_tracked$",
+    r"(^|\.)motion_prior\.motion_encoder\.",
+    r"(^|\.)motion_prior\.motion_quantizer\.",
+    r"(^|\.)motion_prior\.preprocessor\.",
+    r"(^|\.)preprocessor\.",  # TalkingHeadBase pseudo-GT preprocessor
+    r"(^|\.)motion_prior\..*\.attention_mask",
+    r"(^|\.)motion_prior\..*decoder_pos_embedding",
+    r"(^|\.)biased_mask",
+    r"(^|\.)flame\.",  # motion_prior.get_flame() buffers (template etc.)
+    r"masked_spec_embed$",  # wav2vec2 specaugment embedding (train-only)
+)
+
+
+def _is_ignored(key: str) -> bool:
+    return any(re.search(p, key) for p in IGNORED_KEY_PATTERNS)
 
 
 def _first_prefix(sd: Mapping[str, Any], cands) -> str:
@@ -37,7 +77,9 @@ def _first_prefix(sd: Mapping[str, Any], cands) -> str:
                    f"{list(sd)[:5]}")
 
 
-def _flint_decoder_params(sd: Mapping[str, Any], quant_factor: int) -> Dict[str, Any]:
+def _flint_decoder_params(
+    sd: Mapping[str, Any], quant_factor: int, flint_cfg=None
+) -> Dict[str, Any]:
     p: Dict[str, Any] = {}
     # expander 0: ConvTranspose1d; expander i>0: Conv1d (each Sequential
     # [conv, LeakyReLU, BatchNorm1d])
@@ -55,16 +97,40 @@ def _flint_decoder_params(sd: Mapping[str, Any], quant_factor: int) -> Dict[str,
     while f"decoder_transformer.layers.{n_layers}.self_attn.in_proj_weight" in sd:
         n_layers += 1
     p["decoder_transformer"] = tc.encoder_params(sd, "decoder_transformer.", n_layers)
+    # optional projection heads (L2lMotionPrior.py:434-455); the matching
+    # FlintConfig flags must be set or the graft would silently drop them
+    for torch_name, cfg_flag in (("post_transformer_linear",
+                                  "post_transformer_proj"),
+                                 ("post_conv_proj", "post_conv_proj")):
+        if any(k.startswith(torch_name + ".") for k in sd):
+            if flint_cfg is not None and not getattr(flint_cfg, cfg_flag):
+                raise ValueError(
+                    f"checkpoint has motion_prior {torch_name} weights but "
+                    f"FlintConfig.{cfg_flag} is False — the graft would "
+                    "silently drop them"
+                )
+            p[torch_name] = tc.linear_params(sd, torch_name + ".")
     p["cross_smooth_layer"] = tc.conv1d_params(sd, "cross_smooth_layer.")
     return {"params": p, "batch_stats": stats}
 
 
 def emote_params_from_torch(
-    sd: Mapping[str, Any], cfg: EmoteConfig
-) -> Dict[str, Any]:
-    """Full EMOTE state dict -> variables for models.emote.EmoteTalkingHead."""
+    sd: Mapping[str, Any], cfg: EmoteConfig, return_report: bool = False
+):
+    """Full EMOTE state dict -> variables for models.emote.EmoteTalkingHead.
+
+    With ``return_report=True`` also returns a consumption report
+    ``{"consumed", "ignored", "leftover"}`` over the checkpoint's keys:
+    ``leftover`` lists tensors the graft neither mapped nor recognises as a
+    deliberately-unused family (IGNORED_KEY_PATTERNS) — the
+    inventory-enumeration test pins this to empty, so a release checkpoint
+    with renamed/extra keys fails loudly instead of half-loading.
+    """
+    all_keys = list(sd.keys())
+    consumed: set = set()
+    sd = _TrackedDict(sd, consumed)
     base = _first_prefix(sd, ("talking_head_model.", ""))
-    sd = _strip(sd, base) if base else dict(sd)
+    sd = _strip(sd, base) if base else sd
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -93,11 +159,24 @@ def emote_params_from_torch(
     flint_sd = _strip(dec, _first_prefix(
         dec, ("motion_prior.motion_decoder.", "motion_prior.decoder.")
     ))
-    flint = _flint_decoder_params(flint_sd, cfg.flint.quant_factor)
+    flint = _flint_decoder_params(flint_sd, cfg.flint.quant_factor, cfg.flint)
     params["motion_prior"] = flint["params"]
     stats["motion_prior"] = flint["batch_stats"]
 
-    return {"params": params, "batch_stats": stats}
+    variables = {"params": params, "batch_stats": stats}
+    if not return_report:
+        return variables
+    leftover: List[str] = []
+    ignored: List[str] = []
+    for k in all_keys:
+        if k in consumed:
+            continue
+        (ignored if _is_ignored(k) else leftover).append(k)
+    return variables, {
+        "consumed": sorted(consumed),
+        "ignored": sorted(ignored),
+        "leftover": sorted(leftover),
+    }
 
 
 def _squasher_params(dec: Mapping[str, Any], cfg: EmoteConfig) -> Dict[str, Any]:

@@ -41,6 +41,12 @@ class FlintConfig:
     positional_encoding: str = "none"  # none | sinusoidal | periodic
     pe_period: int = 30
     max_seq_len: int = 1200
+    # optional projection heads some L2l configs enable
+    # (L2lMotionPrior.py:434-455): post_transformer_linear runs BEFORE the
+    # smoothing conv (feature_dim -> feature_dim when the conv exists),
+    # post_conv_proj AFTER it (out_dim -> out_dim)
+    post_transformer_proj: bool = False
+    post_conv_proj: bool = False
 
     @property
     def latent_frame_size(self) -> int:
@@ -129,6 +135,8 @@ class FlintDecoder(nn.Module):
             **dd,
         )(x)
 
+        if c.post_transformer_proj:  # L2lMotionPrior.py:487-489
+            x = nn.Dense(c.feature_dim, name="post_transformer_linear", **dd)(x)
         # cross_smooth_layer: Conv1d(feature_dim -> out_dim, k5, p2)
         x = nn.Conv(
             features=c.out_dim,
@@ -137,6 +145,8 @@ class FlintDecoder(nn.Module):
             name="cross_smooth_layer",
             **dd,
         )(x)
+        if c.post_conv_proj:  # L2lMotionPrior.py:492-493
+            x = nn.Dense(c.out_dim, name="post_conv_proj", **dd)(x)
         return x
 
     def split_exp_jaw(self, decoded: jax.Array):
