@@ -9,8 +9,13 @@ Subcommands:
   serve      micro-batched serving over a corpus (InferenceServer: batch
              coalescing + warmup precompile + p50/p99 stats)
   import-prior / import-emote  reference torch checkpoints -> orbax
-  train-prior diffusion-prior training loop (synthetic or real batches)
-  train-emote staged EMOTE training loop (geometric -> disentangled)
+  import-clip vendor + validate the CLIP BPE vocab into assets/
+  train-prior diffusion-prior training loop (synthetic, or a real caption
+             corpus via --json-dir/--root: frozen CLIP voxels + frozen
+             EMOTE style targets, the prepare_train_data bridge)
+  train-emote staged EMOTE training loop (geometric -> disentangled;
+             real MEAD batches + held-out val split via --root)
+  train-flint FLINT motion-prior VAE/VQ training (real motion via --root)
   reconstruct EMOCA-style single-image -> FLAME codes + geometry render
   stats      regenerate Mead coefficient statistics from a dataset root
   translate-captions  Style-B prose -> Style-A instructions (offline)
@@ -477,6 +482,54 @@ def cmd_train_prior(args) -> int:
               f"(best={res['best_ckpt']}, last={res['last_ckpt']})")
     return 0
 
+def cmd_train_flint(args) -> int:
+    """FLINT motion-prior (VAE / VQ-VAE) training — the reference's
+    MotionPrior training app (inferno L2lVqVae; EMOTE's stage-0 prior).
+    Synthetic motion without a data root; real MEAD motion windows
+    (denormalised exp+jaw) via --root."""
+    import numpy as np
+
+    from .models.flint import FlintConfig
+    from .train.driver import train_flint_vae
+
+    fcfg = (FlintConfig(feature_dim=32, bottleneck_dim=32, quant_factor=2,
+                        nhead=4, intermediate_size=64, out_dim=9, n_exp=6)
+            if args.tiny else FlintConfig())
+    B = args.batch_size
+    T = args.frames - args.frames % fcfg.latent_frame_size
+
+    if args.root:
+        from .data import MeadEmocaDataset
+        from .data.train_batches import EmoteBatchBuilder, emote_batches
+
+        ds = MeadEmocaDataset(root=args.root, seq_length=T)
+        builder = EmoteBatchBuilder(ds, frames=T, n_exp=fcfg.n_exp,
+                                    n_shape=8 if args.tiny else 300)
+        if len(builder) == 0:
+            raise SystemExit(f"no usable MEAD clips under {args.root}")
+        print(f"data root: {len(builder)} clips")
+
+        def batches():
+            for b in emote_batches(builder, min(B, len(builder)),
+                                   epochs=None):
+                yield np.concatenate([b["gt_exp"], b["gt_jaw"]], axis=-1)
+    else:
+        rng = np.random.default_rng(args.seed)
+
+        def batches():
+            while True:
+                yield rng.standard_normal(
+                    (B, T, fcfg.out_dim)).astype(np.float32) * 0.1
+
+    res = train_flint_vae(
+        batches(), total_steps=args.steps, flint_cfg=fcfg, lr=args.lr,
+        logdir=args.logdir, ckpt_dir=args.ckpt_dir,
+        quantizer="vq" if args.vq else None,
+    )
+    print("final:", res["metrics"])
+    return 0
+
+
 def cmd_train_faceformer(args) -> int:
     """Stage-1 FaceFormer training loop (synthetic batches without a data
     root; MEAD/EMOCA root via --root)."""
@@ -831,6 +884,19 @@ def main(argv=None) -> int:
     dv.add_argument("--num-samples", type=int, default=10)
     common(dv)
     dv.set_defaults(fn=cmd_diversity)
+
+    tl = sub.add_parser("train-flint",
+                        help="FLINT motion-prior (VAE/VQ) training")
+    tl.add_argument("--steps", type=int, default=200)
+    tl.add_argument("--batch-size", type=int, default=32)
+    tl.add_argument("--frames", type=int, default=64)
+    tl.add_argument("--lr", type=float, default=1e-4)
+    tl.add_argument("--root", default=None, help="MEAD/EMOCA data root")
+    tl.add_argument("--vq", action="store_true", help="VQ-VAE mode")
+    tl.add_argument("--logdir", default=None)
+    tl.add_argument("--ckpt-dir", default=None)
+    common(tl)
+    tl.set_defaults(fn=cmd_train_flint)
 
     tf = sub.add_parser("train-faceformer", help="stage-1 FaceFormer training")
     tf.add_argument("--steps", type=int, default=200)

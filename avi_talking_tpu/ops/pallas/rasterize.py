@@ -14,10 +14,13 @@ the render-loss hot path. Design:
   (exactly like jnp.argmin in the XLA path) and gradients flow through the
   XLA interpolation into vertices and attributes.
 
-Measured (v5e, FLAME-sized mesh: 9976 faces, 5023 verts):
-  256^2 tile=32 cap=1024: 3.2 ms/frame end-to-end vs 9.6 ms XLA binned
-  (both including top_k binning) — the DEFAULT on TPU via
-  viz.rasterizer.rasterize_auto.
+Measured (v5e, FLAME-sized mesh: 9976 faces, 5023 verts; numbers are the
+shipping bench.py lines — BENCH_r02: raster_256_pallas_ms 5.84 vs
+raster_256_xla_binned_ms 10.13, ~1.7x; tunnel-load variance puts the
+Pallas path at 5.4-5.9 ms across rounds):
+  256^2 tile=32 cap=1024 including top_k binning — the DEFAULT on TPU via
+  viz.rasterizer.rasterize_auto. bench.py is the single source of truth
+  for these numbers; do not hand-update them here without a bench run.
 """
 
 from __future__ import annotations

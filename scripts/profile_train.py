@@ -66,6 +66,12 @@ def main():
     T = args.seconds * 25
 
     def measure(Bt, donate, label, param_dtype=jnp.float32, trace=False):
+        """Chained-steps timing: N dependent steps dispatched back-to-back,
+        ONE host sync (float(loss)) at the end. Per-iteration
+        block_until_ready would add the axon tunnel round-trip (~35 ms) to
+        every step, and the AOT compiled-executable path must NOT be used
+        for execution on axon (its arrays never become ready and D2H
+        fails) — cost_analysis only."""
         head = EmoteTalkingHead(cfg, dtype=dtype, param_dtype=param_dtype)
         batch = build_batch(Bt, T, cfg, jnp)
         cond = StyleCondition(batch["expression"], batch["intensity"],
@@ -75,36 +81,25 @@ def main():
         trainer = TalkingHeadTrainer(head=head, tx=tx)
         opt = tx.init(params)
         rng = jax.random.PRNGKey(0)
-        if donate:
-            step = jax.jit(trainer.train_step, donate_argnums=(0, 1))
-        else:
-            step = jax.jit(trainer.train_step)
-        lowered = step.lower(params, opt, batch, rng)
-        compiled = lowered.compile()
-        ca = compiled.cost_analysis()
+        step = jax.jit(trainer.train_step,
+                       donate_argnums=(0, 1) if donate else ())
+        ca = step.lower(params, opt, batch, rng).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = ca.get("flops", float("nan"))
         bytes_acc = ca.get("bytes accessed", float("nan"))
-        params2, opt2, m = compiled(params, opt, batch, rng)
-        jax.block_until_ready(m)
-        if donate:
-            params, opt = params2, opt2
-        ts = []
-        for i in range(args.steps):
-            t0 = time.perf_counter()
-            params2, opt2, m = compiled(params, opt, batch, rng)
-            jax.block_until_ready(m)
-            ts.append(time.perf_counter() - t0)
-            if donate:
-                params, opt = params2, opt2
+        p, o, m = step(params, opt, batch, rng)
+        float(m["loss"])  # warmup + full sync
+        N = args.steps
+        t0 = time.perf_counter()
+        for i in range(N):
+            p, o, m = step(p, o, batch, jax.random.PRNGKey(i))
+        float(m["loss"])  # single end-of-chain sync
+        dt = (time.perf_counter() - t0) / N
         if trace and args.trace:
             with jax.profiler.trace(args.trace):
-                for _ in range(3):
-                    params2, opt2, m = compiled(params, opt, batch, rng)
-                    jax.block_until_ready(m)
-                    if donate:
-                        params, opt = params2, opt2
-        dt = float(np.median(ts))
+                for i in range(3):
+                    p, o, m = step(p, o, batch, jax.random.PRNGKey(i))
+                float(m["loss"])
         mfu = 100.0 * flops / dt / PEAK
         ai = flops / bytes_acc if bytes_acc else float("nan")
         bw = bytes_acc / dt / 1e9

@@ -241,3 +241,18 @@ def test_cli_train_faceformer_real_root_with_conditioning(mead_root, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "final:" in out
+
+
+def test_cli_train_flint_real_root(mead_root, capsys):
+    """cli train-flint --root trains the motion prior on real MEAD motion
+    windows (denormalised exp+jaw) instead of synthetic noise."""
+    from avi_talking_tpu.cli import main
+
+    rc = main([
+        "train-flint", "--tiny", "--root", mead_root, "--steps", "3",
+        "--batch-size", "4", "--frames", "8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "data root: 6 clips" in out
+    assert "final:" in out
