@@ -300,7 +300,62 @@ def cmd_train_emote(args) -> int:
     from .train.emote_driver import EmoteStage, train_emote
 
     cfg = EmoteConfig.tiny() if args.tiny else EmoteConfig()
-    head = EmoteTalkingHead(cfg)
+    neural = None
+    flame_assets = None
+    if args.neural:
+        # perceptual stage: differentiable render + frozen towers in-graph
+        # (random-init without checkpoints — smoke semantics; real towers
+        # come via the lipread/EmoNet importers)
+        import jax.numpy as _jnp
+
+        from .core import synthetic_assets
+        from .core.assets import default_assets_path, load_flame_assets
+        from .models.emoca import EmoNetLoss, EmotionRecognitionModule
+        from .models.lipread import LipReadingLoss, LipReadingNet
+        from .models.video_emotion import (
+            VideoEmotionClassifier,
+            VideoEmotionLoss,
+        )
+        from .train.talking_head import NeuralLosses
+        from .viz.visualizer import FixedViewRenderer
+
+        if args.tiny:
+            flame_assets = synthetic_assets(n_shape=cfg.n_shape,
+                                            n_exp=cfg.flint.n_exp)
+            R, lip = 24, 24
+        else:
+            npz = args.flame_npz if hasattr(args, "flame_npz") else None
+            npz = npz or default_assets_path()
+            flame_assets = (load_flame_assets(npz, cfg.n_shape, cfg.n_exp)
+                            if npz else synthetic_assets(
+                                num_vertices=5023, n_shape=cfg.n_shape,
+                                n_exp=cfg.n_exp, num_faces=9976))
+            R, lip = 224, 88
+        import numpy as _np
+
+        nkey = jax.random.PRNGKey(7)
+        lip_net = LipReadingNet()
+        emo_mod = EmotionRecognitionModule(n_expression=8)
+        vemo = VideoEmotionClassifier(
+            n_classes=8, feature_dim=32 if args.tiny else 128,
+            num_layers=1, nhead=4 if args.tiny else 8, input_dim=2048)
+        neural = NeuralLosses(
+            renderer=FixedViewRenderer(_np.asarray(flame_assets.faces),
+                                       image_size=R),
+            lipread=LipReadingLoss(
+                lip_net, lip_net.init(nkey, _jnp.zeros((1, 2, lip, lip, 1)))),
+            lipread_weight=1.0,
+            emonet=EmoNetLoss(emo_mod),
+            emonet_variables=emo_mod.init(nkey, _jnp.zeros((1, R, R, 3))),
+            emotion_weight=1.0,
+            video_emotion=VideoEmotionLoss(
+                vemo, vemo.init(nkey, _jnp.zeros((1, 4, 2048)))),
+            video_emotion_weight=0.1,
+        )
+        print("train-emote --neural: perception towers are RANDOM-init "
+              "(import real lipread/EmoNet checkpoints for product runs)",
+              file=sys.stderr)
+    head = EmoteTalkingHead(cfg, flame_assets=flame_assets)
     B, T = args.batch_size, args.frames - args.frames % cfg.flint.latent_frame_size
 
     if args.root:
@@ -358,9 +413,10 @@ def cmd_train_emote(args) -> int:
     stages = [
         EmoteStage(name="geometric", steps=args.steps, lr=args.lr),
         EmoteStage(name="disentangled", steps=args.steps, lr=args.lr / 2,
-                   disentangle="condition_exchange"),
+                   disentangle="condition_exchange",
+                   use_neural=neural is not None),
     ]
-    res = train_emote(head, params, batches, stages=stages,
+    res = train_emote(head, params, batches, stages=stages, neural=neural,
                       val_batches=val_batches,
                       val_every=args.val_every, run_dir=args.run_dir,
                       early_stop_patience=args.early_stop_patience)
@@ -941,6 +997,10 @@ def main(argv=None) -> int:
                          "runs on synthetic batches")
     te.add_argument("--val-fraction", type=float, default=0.1,
                     help="held-out clip fraction of --root")
+    te.add_argument("--neural", action="store_true",
+                    help="enable the perceptual stage losses (render + "
+                         "lipread/EmoNet/video-emotion towers in-graph); "
+                         "gt meshes are decoded in-loss from the coeffs")
     te.set_defaults(fn=cmd_train_emote)
 
     t = sub.add_parser("train-prior", help="diffusion prior training loop")

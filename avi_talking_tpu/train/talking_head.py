@@ -148,7 +148,9 @@ class TalkingHeadTrainer:
         gt_video = jax.lax.stop_gradient(
             nl.render_video(batch["gt_vertices"][:B_orig])
         )
-        mask = batch.get("frame_mask")  # (B_orig, T) 1=valid, optional
+        mask = batch.get("frame_mask")  # 1=valid, optional; doubled under
+        if mask is not None:  # condition_exchange -> take the original rows
+            mask = mask[:B_orig]
 
         if nl.lipread is not None and nl.lipread_weight > 0:
             pred_m = nl.mouth_crops(pred_video[:B_orig])
@@ -228,6 +230,31 @@ class TalkingHeadTrainer:
         metrics: Dict[str, jax.Array] = {}
         loss = self._geometric_losses(out, batch, B_orig, metrics)
         if self.neural is not None and self.neural.any_enabled():
+            if ("gt_vertices" not in batch and "gt_exp" in batch
+                    and self.head.flame_assets is not None):
+                # real-data batches carry coeffs, not meshes: decode the gt
+                # FLAME vertices in-graph (stop-gradient render target),
+                # like the reference's pseudo-GT path
+                from ..core.flame import FlameModel
+
+                c = self.head.cfg
+                flame = FlameModel(self.head.flame_assets,
+                                   n_shape=c.n_shape, n_exp=c.flint.n_exp)
+                ge = batch["gt_exp"][:B_orig]
+                gj = batch["gt_jaw"][:B_orig]
+                Bv, Tv = ge.shape[:2]
+                gs = batch.get("gt_shape")
+                gs = (jnp.zeros((Bv, c.n_shape), ge.dtype) if gs is None
+                      else gs[:B_orig])
+                shape_bt = jnp.broadcast_to(gs[:, None], (Bv, Tv, c.n_shape))
+                pose = jnp.concatenate([jnp.zeros_like(gj), gj], axis=-1)
+                gv = flame.vertices_only(
+                    shape_bt.reshape(Bv * Tv, -1).astype(jnp.float32),
+                    ge.reshape(Bv * Tv, -1).astype(jnp.float32),
+                    pose.reshape(Bv * Tv, -1).astype(jnp.float32),
+                ).reshape(Bv, Tv, -1, 3)
+                batch = dict(batch,
+                             gt_vertices=jax.lax.stop_gradient(gv))
             assert "vertices" in out and "gt_vertices" in batch, (
                 "neural losses need FLAME vertices (construct the head with "
                 "flame_assets and provide gt_vertices)"

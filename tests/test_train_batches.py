@@ -256,3 +256,17 @@ def test_cli_train_flint_real_root(mead_root, capsys):
     out = capsys.readouterr().out
     assert "data root: 6 clips" in out
     assert "final:" in out
+
+
+def test_cli_train_emote_neural_real_root(mead_root, capsys):
+    """cli train-emote --root --neural: perceptual stage on real data with
+    gt meshes decoded in-loss from the coeffs (no gt_vertices in batch)."""
+    from avi_talking_tpu.cli import main
+
+    rc = main([
+        "train-emote", "--tiny", "--root", mead_root, "--neural",
+        "--steps", "1", "--batch-size", "2", "--frames", "8",
+        "--val-every", "0", "--val-fraction", "0.34",
+    ])
+    assert rc == 0
+    assert "done:" in capsys.readouterr().out
