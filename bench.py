@@ -129,9 +129,13 @@ def main():
     from avi_talking_tpu.train.talking_head import TalkingHeadTrainer
 
     # geometric losses only; bf16 compute head WITHOUT flame (training
-    # supervises coeffs; keeps the step comparable across rounds)
+    # supervises coeffs; keeps the step comparable across rounds).
+    # B=16 is the measured MFU sweet spot (scripts/profile_train.py sweep:
+    # 36% at B=8, 43% at B=16, falls off B>=32 as achieved HBM bandwidth
+    # drops); params stay fp32 (production training semantics — bf16
+    # params+Adam state buy only ~1% more).
     train_head = EmoteTalkingHead(cfg, dtype=dtype)
-    Bt = 8
+    Bt = 16
     rngs = np.random.default_rng(1)
     batch = {
         "raw_audio": jnp.asarray(

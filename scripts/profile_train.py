@@ -176,30 +176,27 @@ def main():
                                      disentangle="condition_exchange")
         opt = tx.init(params)
         step = jax.jit(trainer.train_step, donate_argnums=(0, 1))
-        lowered = step.lower(params, opt, batch, jax.random.PRNGKey(0))
         t0 = time.perf_counter()
-        compiled = lowered.compile()
+        ca = step.lower(params, opt, batch,
+                        jax.random.PRNGKey(0)).compile().cost_analysis()
         print(f"neural step compile: {time.perf_counter() - t0:.1f}s")
-        ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = ca.get("flops", float("nan"))
-        params, opt, m = compiled(params, opt, batch, jax.random.PRNGKey(0))
-        jax.block_until_ready(m)
-        ts = []
-        for i in range(args.steps):
-            t0 = time.perf_counter()
-            params, opt, m = compiled(params, opt, batch, jax.random.PRNGKey(i))
-            jax.block_until_ready(m)
-            ts.append(time.perf_counter() - t0)
-        dt = float(np.median(ts))
+        p, o, m = step(params, opt, batch, jax.random.PRNGKey(0))
+        float(m["loss"])  # warmup sync (jit path, NOT the AOT handle)
+        N = args.steps
+        t0 = time.perf_counter()
+        for i in range(N):
+            p, o, m = step(p, o, batch, jax.random.PRNGKey(i))
+        float(m["loss"])
+        dt = (time.perf_counter() - t0) / N
         print(f"neural-loss step (render {R}^2, B={Bn} T={Tn}): "
               f"{dt * 1e3:.1f}ms  frames/s={Bn * Tn / dt:.1f} "
               f"flops={flops / 1e9:.1f}G mfu={100 * flops / dt / PEAK:.1f}%")
         if args.trace:
             with jax.profiler.trace(args.trace):
-                params, opt, m = compiled(params, opt, batch,
-                                          jax.random.PRNGKey(9))
-                jax.block_until_ready(m)
+                p, o, m = step(p, o, batch, jax.random.PRNGKey(9))
+                float(m["loss"])
 
 
 if __name__ == "__main__":
