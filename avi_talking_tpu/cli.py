@@ -611,6 +611,7 @@ def cmd_train_faceformer(args) -> int:
             assets = load_flame_assets(npz, 100, 50)
             flame = FlameModel(assets, n_shape=100, n_exp=50)
     model = FaceFormerCoeff(cfg)
+    render_loss = None  # set by --render-loss under --root
 
     rng = np.random.default_rng(args.seed)
     B, T = args.batch_size, args.seq_length
@@ -633,7 +634,7 @@ def cmd_train_faceformer(args) -> int:
         ds = MeadEmocaDataset(root=args.root, seq_length=T)
         builder = FaceFormerBatchBuilder(
             ds, frames=T, coeff_dim=cfg.vertice_dim,
-            load_images=cfg.with_condition_merge)
+            load_images=cfg.with_condition_merge or args.render_loss)
         if len(builder) == 0:
             raise SystemExit(f"no usable MEAD clips under {args.root}")
         batches = batch_iterator(
@@ -663,20 +664,76 @@ def cmd_train_faceformer(args) -> int:
                       file=sys.stderr)
             conditioner = FanConditioner(fan, fan_vars, seed=args.seed)
 
+        render_loss = None
+        if args.render_loss:
+            # stage-1 PIRender render loss (faceformer.py:488-566): warp/
+            # final perceptual terms on the upper face, random-init
+            # generator/VGG without checkpoints (smoke semantics; real
+            # weights via pirender_params_from_torch)
+            from .data.stats import CoeffStats
+            from .models.pirender import FaceGenerator, PIRenderConfig
+            from .train.perceptual import PerceptualLoss, Vgg19Features
+            from .train.render_loss import PIRenderRenderLoss
+
+            probe = builder[0]
+            if "img" not in probe:
+                raise SystemExit(
+                    "--render-loss needs detection crops under the data "
+                    "root (EMOCA detections/*.png); none found")
+            img_hw = probe["img"].shape[1:3]
+            if args.tiny:
+                pir_cfg = PIRenderConfig.tiny()
+                vgg = Vgg19Features(taps=("relu_1_1",))
+                def mk_ploss():
+                    return PerceptualLoss(
+                        vgg, layers=("relu_1_1",), num_scales=1)
+            else:
+                pir_cfg = PIRenderConfig()
+                vgg = Vgg19Features()
+                mk_ploss = lambda: PerceptualLoss(vgg)  # noqa: E731
+            gen = FaceGenerator(pir_cfg)
+            # descriptor = exp(d-3) | rot3+jaw3 | cam3 (59-d at full size)
+            descr_dim = cfg.vertice_dim + 6
+            gvars = gen.init(jax.random.PRNGKey(2),
+                             jnp.zeros((1, *img_hw, 3)),
+                             jnp.zeros((1, 27, descr_dim)))
+            vgg_params = vgg.init(
+                jax.random.PRNGKey(3), jnp.zeros((1, *img_hw, 3)))["params"]
+            stats = ds.stats or CoeffStats.identity(59)
+            render_loss = PIRenderRenderLoss(
+                generator=gen, generator_params=gvars,
+                perceptual_warp=mk_ploss(),
+                perceptual_final=mk_ploss(),
+                vgg_params=vgg_params,
+                coeff_mean=jnp.asarray(stats.mean),
+                coeff_std=jnp.asarray(stats.std),
+                n_samples=2,
+            )
+            print("train-faceformer: --render-loss with RANDOM-init "
+                  "PIRender/VGG towers (smoke semantics)", file=sys.stderr)
+
         def batch():  # noqa: F811 - data-backed override
             b = next(batches)
             out = {
                 "audio": jnp.asarray(b["audio"]),
                 "coeff": jnp.asarray(b["coeff"][..., : cfg.vertice_dim]),
             }
-            if conditioner is not None:
+            if conditioner is not None or render_loss is not None:
                 if "img" not in b or not hasattr(b["img"], "ndim"):
                     raise SystemExit(
-                        "with_condition_merge needs detection crops under "
-                        "the data root (EMOCA detections/*.png); none found")
+                        "conditioning / render loss needs detection crops "
+                        "under the data root (EMOCA detections/*.png)")
+            if conditioner is not None:
                 out.update(conditioner.condition(
                     np.asarray(b["img"]), np.asarray(b["coeff"])))
                 out["ref_coeff"] = out["ref_coeff"][..., : cfg.vertice_dim]
+            if render_loss is not None:
+                out.update({
+                    "pose": jnp.asarray(b["pose"]),
+                    "cam": jnp.asarray(b["cam"]),
+                    "img": jnp.asarray(b["img"]),
+                    "ref_img": jnp.asarray(b.get("ref_img", b["img"])),
+                })
             return out
 
     first = batch()
@@ -691,7 +748,8 @@ def cmd_train_faceformer(args) -> int:
     trainer = FaceFormerTrainer(model=model, tx=tx,
                                 flame=flame if use_ldmk else None,
                                 coeff_mean=jnp.zeros(cfg.vertice_dim),
-                                coeff_std=jnp.ones(cfg.vertice_dim))
+                                coeff_std=jnp.ones(cfg.vertice_dim),
+                                render_loss_fn=render_loss)
     step = trainer.jitted_train_step()
     opt = tx.init(params)
     import time as _t
@@ -963,6 +1021,9 @@ def main(argv=None) -> int:
     tf.add_argument("--fan-checkpoint", default=None,
                     help="torch FanEncoder ckpt for the frozen conditioning "
                          "tower (random-init without it)")
+    tf.add_argument("--render-loss", action="store_true",
+                    help="enable the PIRender upper-face render loss "
+                         "(needs --root with detection crops)")
     tf.add_argument("--ckpt-dir", default=None)
     common(tf)
     tf.set_defaults(fn=cmd_train_faceformer)

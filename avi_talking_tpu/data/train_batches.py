@@ -168,8 +168,13 @@ class FaceFormerBatchBuilder:
       coeff      (frames, coeff_dim) NORMALISED coeff window (edge-padded so
                                      teacher forcing never sees zero jumps)
       frame_mask (frames,)
+      pose       (frames, 6)         raw EMOCA pose (global rot + jaw)
+      cam        (frames, 3)         raw EMOCA camera
       img        (frames, H, W, 3)   detection crops (only when the root has
                                      them and ``load_images``)
+      ref_img    (frames, H, W, 3)   neutral-reference crops (with images)
+    pose/cam/ref_img feed the PIRender render loss
+    (train.render_loss.PIRenderRenderLoss batch contract).
     """
 
     ds: MeadEmocaDataset
@@ -205,13 +210,21 @@ class FaceFormerBatchBuilder:
         mask = np.zeros((T,), np.float32)
         mask[:L] = 1.0
         out["frame_mask"] = mask
-        if "img" in item:
-            img = np.asarray(item["img"], np.float32)
-            if img.shape[0] < T:
-                img = np.concatenate(
-                    [img, np.repeat(img[-1:], T - img.shape[0], axis=0)]
-                )
-            out["img"] = img[:T]
+        for key in ("pose", "cam"):
+            v = np.asarray(item[key], np.float32)
+            padded = np.zeros((T, v.shape[1]), np.float32)
+            padded[: v.shape[0]] = v[:T]
+            if v.shape[0] < T:
+                padded[v.shape[0]:] = v[-1]
+            out[key] = padded
+        for src, dst in (("img", "img"), ("ref_img", "ref_img")):
+            if src in item:
+                img = np.asarray(item[src], np.float32)
+                if img.shape[0] < T:
+                    img = np.concatenate(
+                        [img, np.repeat(img[-1:], T - img.shape[0], axis=0)]
+                    )
+                out[dst] = img[:T]
         return out
 
 

@@ -243,6 +243,22 @@ def test_cli_train_faceformer_real_root_with_conditioning(mead_root, capsys):
     assert "final:" in out
 
 
+def test_cli_train_faceformer_render_loss(mead_root, capsys):
+    """cli train-faceformer --render-loss runs the stage-1 PIRender
+    upper-face perceptual loss in the jitted step (faceformer.py:488-566)."""
+    from avi_talking_tpu.cli import main
+
+    rc = main([
+        "train-faceformer", "--tiny", "--root", mead_root, "--steps", "2",
+        "--batch-size", "2", "--seq-length", "6", "--render-loss",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "render=" in out or "final:" in out
+    # the render term must actually be in the final metrics
+    assert "'render'" in out
+
+
 def test_cli_train_flint_real_root(mead_root, capsys):
     """cli train-flint --root trains the motion prior on real MEAD motion
     windows (denormalised exp+jaw) instead of synthetic noise."""
