@@ -634,7 +634,8 @@ def cmd_train_faceformer(args) -> int:
         ds = MeadEmocaDataset(root=args.root, seq_length=T)
         builder = FaceFormerBatchBuilder(
             ds, frames=T, coeff_dim=cfg.vertice_dim,
-            load_images=cfg.with_condition_merge or args.render_loss)
+            load_images=(cfg.with_condition_merge or args.render_loss
+                         or args.emo_loss))
         if len(builder) == 0:
             raise SystemExit(f"no usable MEAD clips under {args.root}")
         batches = batch_iterator(
@@ -665,11 +666,13 @@ def cmd_train_faceformer(args) -> int:
             conditioner = FanConditioner(fan, fan_vars, seed=args.seed)
 
         render_loss = None
-        if args.render_loss:
+        if args.render_loss or args.emo_loss:
             # stage-1 PIRender render loss (faceformer.py:488-566): warp/
             # final perceptual terms on the upper face, random-init
             # generator/VGG without checkpoints (smoke semantics; real
-            # weights via pirender_params_from_torch)
+            # weights via pirender_params_from_torch). --emo-loss rides the
+            # same generator forward (compute_emo_loss, faceformer.py:
+            # 440-470); without --render-loss the perceptual weight is 0.
             from .data.stats import CoeffStats
             from .models.pirender import FaceGenerator, PIRenderConfig
             from .train.perceptual import PerceptualLoss, Vgg19Features
@@ -699,6 +702,30 @@ def cmd_train_faceformer(args) -> int:
                              jnp.zeros((1, 27, descr_dim)))
             vgg_params = vgg.init(
                 jax.random.PRNGKey(3), jnp.zeros((1, *img_hw, 3)))["params"]
+            emonet = emonet_vars = None
+            if args.emo_loss:
+                from .models.emoca import (
+                    EmoNetLoss,
+                    EmotionRecognitionModule,
+                    emotion_module_params_from_torch,
+                )
+
+                emo_mod = EmotionRecognitionModule(n_expression=8)
+                if args.emonet_checkpoint:
+                    import torch as _torch
+
+                    sd = _torch.load(args.emonet_checkpoint,
+                                     map_location="cpu", weights_only=False)
+                    if isinstance(sd, dict) and "state_dict" in sd:
+                        sd = sd["state_dict"]
+                    emonet_vars = emotion_module_params_from_torch(sd)
+                else:
+                    emonet_vars = emo_mod.init(
+                        jax.random.PRNGKey(4), jnp.zeros((1, *img_hw, 3)))
+                    print("train-faceformer: no --emonet-checkpoint; the "
+                          "frozen EmoNet is RANDOM-init (smoke semantics)",
+                          file=sys.stderr)
+                emonet = EmoNetLoss(emo_mod)
             stats = ds.stats or CoeffStats.identity(59)
             render_loss = PIRenderRenderLoss(
                 generator=gen, generator_params=gvars,
@@ -708,6 +735,7 @@ def cmd_train_faceformer(args) -> int:
                 coeff_mean=jnp.asarray(stats.mean),
                 coeff_std=jnp.asarray(stats.std),
                 n_samples=2,
+                emonet=emonet, emonet_vars=emonet_vars,
             )
             print("train-faceformer: --render-loss with RANDOM-init "
                   "PIRender/VGG towers (smoke semantics)", file=sys.stderr)
@@ -749,7 +777,9 @@ def cmd_train_faceformer(args) -> int:
                                 flame=flame if use_ldmk else None,
                                 coeff_mean=jnp.zeros(cfg.vertice_dim),
                                 coeff_std=jnp.ones(cfg.vertice_dim),
-                                render_loss_fn=render_loss)
+                                render_loss_fn=render_loss,
+                                render_weight=(0.015 if args.render_loss
+                                               else 0.0))
     step = trainer.jitted_train_step()
     opt = tx.init(params)
     import time as _t
@@ -1024,6 +1054,12 @@ def main(argv=None) -> int:
     tf.add_argument("--render-loss", action="store_true",
                     help="enable the PIRender upper-face render loss "
                          "(needs --root with detection crops)")
+    tf.add_argument("--emo-loss", action="store_true",
+                    help="enable the EmoNet feature loss on the PIRender "
+                         "renders (needs --root with detection crops)")
+    tf.add_argument("--emonet-checkpoint", default=None,
+                    help="torch EmotionRecognition ckpt for the frozen "
+                         "EmoNet tower (random-init without it)")
     tf.add_argument("--ckpt-dir", default=None)
     common(tf)
     tf.set_defaults(fn=cmd_train_faceformer)

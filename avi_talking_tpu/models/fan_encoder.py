@@ -101,6 +101,13 @@ class FanBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # (B, H, W, 3)
+        # the hourglass downsamples 4x before its own 4-level pyramid: below
+        # 64px a level bottoms out at 0 and fails with an opaque resize error
+        if min(x.shape[1], x.shape[2]) < 64:
+            raise ValueError(
+                f"FanBackbone needs crops >= 64px, got {x.shape[1:3]} "
+                "(the reference feeds 224x224 detections)"
+            )
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype,
                     name="conv1")(x)
         x = jax.nn.relu(_BN(self.dtype, name="bn1")(x, train))

@@ -40,10 +40,12 @@ class FaceFormerTrainer:
     ldmk_weight: float = 10.0
     lipd_weight: float = 1.0
     eyed_weight: float = 0.0
-    render_loss_fn: Optional[Callable] = None  # (pred_coeff, batch) -> scalar
+    # (pred_coeff, batch) -> scalar, or {"render": ..., "emo": ...} when the
+    # render pass also feeds the EmoNet term (render_loss.PIRenderRenderLoss)
+    render_loss_fn: Optional[Callable] = None
     render_weight: float = 0.015
     emo_loss_fn: Optional[Callable] = None
-    emo_weight: float = 1.0
+    emo_weight: float = 0.15  # faceformer.py:448
 
     def _denorm(self, coeff: jax.Array) -> jax.Array:
         if self.coeff_mean is None:
@@ -100,8 +102,13 @@ class FaceFormerTrainer:
 
         if self.render_loss_fn is not None:
             l_render = self.render_loss_fn(pred, batch)
-            loss += self.render_weight * l_render
-            metrics["render"] = l_render
+            if isinstance(l_render, dict):
+                loss += self.render_weight * l_render["render"]
+                loss += self.emo_weight * l_render["emo"]
+                metrics.update(l_render)
+            else:
+                loss += self.render_weight * l_render
+                metrics["render"] = l_render
         if self.emo_loss_fn is not None:
             l_emo = self.emo_loss_fn(pred, batch)
             loss += self.emo_weight * l_emo

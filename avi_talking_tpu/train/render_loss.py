@@ -10,6 +10,13 @@ are compared to the ground-truth frames with UPPER-FACE-masked perceptual
 losses (the mouth is supervised by the coeff/landmark terms; the render loss
 constrains the upper face).
 
+With ``emonet`` set, the same generator forward also feeds the stage-1
+emotion loss (``compute_emo_loss``, /root/reference/models/faceformer.py:
+440-470): EmoNet feature distance between the PIRender ``fake_image`` and
+the ground-truth frame, both mapped [-1,1] -> [0,1]; the call then returns
+``{"render": ..., "emo": ...}`` so FaceFormerTrainer can weight the terms
+independently (0.015 / 0.15 in the reference).
+
 Plugs into FaceFormerTrainer.render_loss_fn.
 """
 
@@ -59,9 +66,13 @@ class PIRenderRenderLoss:
     n_samples: int = 4
     weight_warp: float = 2.5
     weight_final: float = 4.0
+    # optional stage-1 emotion term on the rendered frames
+    # (models.emoca.EmoNetLoss + its variables)
+    emonet: Any = None
+    emonet_vars: Any = None
 
     def __call__(self, pred_coeff: jax.Array, batch: Dict[str, jax.Array],
-                 rng: jax.Array | None = None) -> jax.Array:
+                 rng: jax.Array | None = None):
         B, T = pred_coeff.shape[:2]
         d = pred_coeff.shape[-1]
         unnorm = pred_coeff * self.coeff_std[:d] + self.coeff_mean[:d]
@@ -82,6 +93,7 @@ class PIRenderRenderLoss:
         )
 
         loss = 0.0
+        emo = 0.0
         for i in range(self.n_samples):
             idx = frame_idx[i]
             win = obtain_seq_index(idx, T)  # (27,)
@@ -96,4 +108,14 @@ class PIRenderRenderLoss:
             loss += self.weight_final * self.perceptual_final(
                 self.vgg_params, out["fake_image"] * mask, gt * mask
             )
+            if self.emonet is not None:
+                l_emo, _ = self.emonet(
+                    self.emonet_vars,
+                    out["fake_image"] * 0.5 + 0.5,
+                    gt * 0.5 + 0.5,
+                )
+                emo += l_emo
+        if self.emonet is not None:
+            return {"render": loss / self.n_samples,
+                    "emo": emo / self.n_samples}
         return loss / self.n_samples

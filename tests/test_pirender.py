@@ -210,6 +210,56 @@ def test_pirender_render_loss_composition():
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+def test_pirender_render_emo_loss():
+    """--emo-loss path: EmoNet feature distance on the PIRender fake_image
+    rides the same generator forward and the loss returns a term dict
+    (faceformer.py:440-470)."""
+    import jax.numpy as jnp
+
+    from avi_talking_tpu.models.emoca import EmoNetLoss, EmotionRecognitionModule
+    from avi_talking_tpu.train.perceptual import PerceptualLoss, Vgg19Features
+    from avi_talking_tpu.train.render_loss import PIRenderRenderLoss
+
+    cfg = PIRenderConfig.tiny()
+    gen = FaceGenerator(cfg)
+    rng = np.random.default_rng(7)
+    B, T, H = 1, 6, 16
+    img = jnp.asarray(rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32))
+    win = jnp.asarray(
+        rng.standard_normal((B, 27, cfg.coeff_nc)).astype(np.float32))
+    gparams = gen.init(jax.random.PRNGKey(0), img, win)
+    vgg = Vgg19Features(taps=("relu_1_1",))
+    vparams = vgg.init(jax.random.PRNGKey(1), img)["params"]
+    emo_mod = EmotionRecognitionModule(n_expression=8)
+    emo_vars = emo_mod.init(jax.random.PRNGKey(2), jnp.zeros((1, H, H, 3)))
+
+    pred = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    batch = {
+        "pose": jnp.asarray(rng.standard_normal((B, T, 6)).astype(np.float32)),
+        "cam": jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32)),
+        "images": jnp.asarray(
+            rng.uniform(-1, 1, (B, T, H, H, 3)).astype(np.float32)),
+        "ref_images": jnp.asarray(
+            rng.uniform(-1, 1, (B, T, H, H, 3)).astype(np.float32)),
+    }
+    loss_fn = PIRenderRenderLoss(
+        generator=gen, generator_params=gparams,
+        perceptual_warp=PerceptualLoss(vgg, layers=("relu_1_1",), num_scales=1),
+        perceptual_final=PerceptualLoss(vgg, layers=("relu_1_1",), num_scales=1),
+        vgg_params=vparams,
+        coeff_mean=jnp.zeros(3), coeff_std=jnp.ones(3), n_samples=1,
+        emonet=EmoNetLoss(emo_mod), emonet_vars=emo_vars,
+    )
+    out = loss_fn(pred, batch, jax.random.PRNGKey(3))
+    assert set(out) == {"render", "emo"}
+    assert np.isfinite(float(out["render"])) and np.isfinite(float(out["emo"]))
+    assert float(out["emo"]) > 0
+    # the emo term is differentiable w.r.t. the predicted coefficients
+    g = jax.grad(
+        lambda p: loss_fn(p, batch, jax.random.PRNGKey(3))["emo"])(pred)
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
 def _build_torch_facegen(cfg):
     """Published PIRender FaceGenerator re-implemented in torch (use_spect
     off, LeakyReLU(0.1), LayerNorm2d norms) for importer parity."""

@@ -259,6 +259,20 @@ def test_cli_train_faceformer_render_loss(mead_root, capsys):
     assert "'render'" in out
 
 
+def test_cli_train_faceformer_emo_loss(mead_root, capsys):
+    """cli train-faceformer --emo-loss adds the EmoNet feature term on the
+    PIRender renders (render weight 0 without --render-loss)."""
+    from avi_talking_tpu.cli import main
+
+    rc = main([
+        "train-faceformer", "--tiny", "--root", mead_root, "--steps", "1",
+        "--batch-size", "2", "--seq-length", "6", "--emo-loss",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'emo'" in out and "'render'" in out
+
+
 def test_cli_train_flint_real_root(mead_root, capsys):
     """cli train-flint --root trains the motion prior on real MEAD motion
     windows (denormalised exp+jaw) instead of synthetic noise."""
