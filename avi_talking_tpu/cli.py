@@ -799,6 +799,165 @@ def cmd_train_faceformer(args) -> int:
     return 0
 
 
+def cmd_train_faceformer_vert(args) -> int:
+    """Vertex-space FaceFormer training (VOCASET root or synthetic): the
+    FaceFormer-original teacher-forced vertex MSE, plus the disentangle
+    variant's cross-modal shuffle losses under --disentangle
+    (/root/reference/models/faceformer_disentangle.py:648-717,
+    dataset/voca_data_loader.py:38-111)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from .audio import Wav2Vec2Config
+    from .models.faceformer_vert import (
+        FaceFormerVert,
+        FaceFormerVertConfig,
+        FlameRegionSelector,
+        disentangle_losses,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    B, T = args.batch_size, args.frames
+
+    if args.root:
+        from .data.vocaset import VocasetDataset
+
+        subjects = (args.train_subjects.split(",") if args.train_subjects
+                    else None)
+        if subjects is None:
+            import os as _os
+
+            wavs = sorted(_os.listdir(_os.path.join(args.root, "wav")))
+            # vocaset names: <subject>_sentenceNN.wav
+            subjects = sorted({w.rsplit("_sentence", 1)[0] for w in wavs
+                               if "_sentence" in w})
+            print(f"train-faceformer-vert: autodetected subjects {subjects}")
+        ds = VocasetDataset(
+            args.root, train_subjects=subjects,
+            val_subjects=subjects[:1], test_subjects=subjects[:1],
+            dataset_kind=args.dataset_kind, split="train",
+        )
+        if not ds.items:
+            raise SystemExit(f"no usable VOCASET clips under {args.root}")
+        vert_dim = ds.items[0].vertice.shape[1]
+        template = jnp.asarray(ds.items[0].template)
+        n_subj = len(ds.train_subjects)
+
+        def batch():
+            idxs = rng.integers(0, len(ds.items), size=B)
+            audio = np.zeros((B, T * 640), np.float32)
+            verts = np.zeros((B, T, vert_dim), np.float32)
+            for j, k in enumerate(idxs):
+                it = ds.items[k]
+                L = it.vertice.shape[0]
+                if L > T:
+                    s = int(rng.integers(0, L - T + 1))
+                    win = it.vertice[s : s + T]
+                else:
+                    s, win = 0, it.vertice
+                a = it.audio[s * 640 : (s + win.shape[0]) * 640]
+                audio[j, : a.shape[0]] = a
+                verts[j, : win.shape[0]] = win
+                if win.shape[0] < T:  # edge-pad short clips
+                    verts[j, win.shape[0]:] = win[-1]
+            one_hot = np.stack([ds.items[k].one_hot for k in idxs])
+            return (jnp.asarray(audio), jnp.asarray(verts),
+                    jnp.asarray(one_hot))
+    else:
+        vert_dim = 30 if args.tiny else 15069
+        template = jnp.asarray(
+            rng.standard_normal(vert_dim).astype(np.float32) * 0.01)
+        n_subj = 2
+
+        def batch():
+            return (
+                jnp.asarray(rng.standard_normal((B, T * 640)).astype(np.float32)),
+                jnp.asarray(
+                    rng.standard_normal((B, T, vert_dim)).astype(np.float32)
+                    * 0.01),
+                jnp.asarray(np.eye(n_subj, dtype=np.float32)[
+                    rng.integers(0, n_subj, size=B)]),
+            )
+
+    cfg = FaceFormerVertConfig(
+        vertice_dim=vert_dim,
+        feature_dim=32 if args.tiny else 64,
+        period=5 if args.tiny else 30,
+        num_train_subjects=n_subj,
+        wav2vec2=Wav2Vec2Config.tiny() if args.tiny else Wav2Vec2Config(),
+    )
+    model = FaceFormerVert(cfg, template=template)
+
+    selector = None
+    if args.disentangle:
+        # region masks from FLAME assets when the real template matches,
+        # else thresholded from the data template (FLAMESelector semantics)
+        from .core.assets import default_assets_path, load_flame_assets
+
+        npz = args.flame_npz or default_assets_path()
+        if npz and vert_dim == 15069:
+            selector = FlameRegionSelector.from_assets(
+                load_flame_assets(npz, 100, 50))
+        else:
+            v3 = np.asarray(template, np.float32).reshape(-1, 3)
+            selector = FlameRegionSelector.from_template(
+                v3, frontal_z=float(np.median(v3[:, 2])),
+                face_y=float(np.quantile(v3[:, 1], 0.25)),
+                mouth_y_max=float(np.median(v3[:, 1])),
+                eye_y_min=float(np.median(v3[:, 1])),
+                eye_y_max=float(np.quantile(v3[:, 1], 0.95)),
+                eye_z=float(np.median(v3[:, 2])),
+            )
+            print("train-faceformer-vert: region masks thresholded from "
+                  "the data template (no FLAME assets)", file=sys.stderr)
+
+    audio0, verts0, oh0 = batch()
+    emo0 = jnp.zeros((B, T, cfg.emo_dim))
+    params = model.init(jax.random.PRNGKey(0), audio0, verts0, emo0, oh0)
+    tx = optax.adam(args.lr)
+    opt = tx.init(params)
+
+    if args.disentangle:
+        def loss_fn(p, audio, verts, one_hot, emo, step_rng):
+            terms = disentangle_losses(
+                model, p, audio, verts, emo, selector, step_rng)
+            return sum(terms.values()), terms
+    else:
+        def loss_fn(p, audio, verts, one_hot, emo, step_rng):
+            pred = model.apply(p, audio, verts, emo, one_hot)
+            l = jnp.mean((pred - verts) ** 2)
+            return l, {"verts": l}
+
+    @jax.jit
+    def step(params, opt, audio, verts, one_hot, emo, step_rng):
+        (loss, terms), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, audio, verts, one_hot, emo, step_rng)
+        upd, opt2 = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt2, loss, terms
+
+    import time as _t
+
+    t0 = _t.time()
+    for i in range(args.steps):
+        audio, verts, one_hot = batch()
+        emo = jnp.asarray(
+            rng.standard_normal((B, T, cfg.emo_dim)).astype(np.float32)
+        ) if args.disentangle else emo0
+        params, opt, loss, terms = step(
+            params, opt, audio, verts, one_hot, emo, jax.random.PRNGKey(i))
+        if (i + 1) % 50 == 0:
+            print(f"step {i+1}: loss={float(loss):.5f} "
+                  f"({(i+1)/(_t.time()-t0):.1f} it/s)")
+    if args.ckpt_dir:
+        from .infra.checkpoint import save_checkpoint
+
+        save_checkpoint(args.ckpt_dir, {"params": params})
+    print("final:", {k: float(v) for k, v in terms.items()})
+    return 0
+
+
 def cmd_convert_flame(args) -> int:
     import os as _os
 
@@ -1063,6 +1222,25 @@ def main(argv=None) -> int:
     tf.add_argument("--ckpt-dir", default=None)
     common(tf)
     tf.set_defaults(fn=cmd_train_faceformer)
+
+    tv = sub.add_parser("train-faceformer-vert",
+                        help="vertex-space FaceFormer training (VOCASET)")
+    tv.add_argument("--steps", type=int, default=200)
+    tv.add_argument("--batch-size", type=int, default=4)
+    tv.add_argument("--frames", type=int, default=100)
+    tv.add_argument("--lr", type=float, default=1e-4)
+    tv.add_argument("--root", default=None,
+                    help="VOCASET-style root (wav/ + vertices_npy/ + "
+                         "templates.pkl)")
+    tv.add_argument("--train-subjects", default=None,
+                    help="comma-separated subject names (default: autodetect)")
+    tv.add_argument("--dataset-kind", default="vocaset",
+                    choices=("vocaset", "BIWI"))
+    tv.add_argument("--disentangle", action="store_true",
+                    help="cross-modal shuffle losses (eye/mouth region MSE)")
+    tv.add_argument("--ckpt-dir", default=None)
+    common(tv)
+    tv.set_defaults(fn=cmd_train_faceformer_vert)
 
     rc = sub.add_parser("reconstruct", help="EMOCA single-image reconstruction")
     rc.add_argument("--image", required=True, help="input PNG")

@@ -230,6 +230,30 @@ def test_mead_to_faceformer_training_integration(mead_root):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_cli_train_faceformer_vert(vocaset_root, capsys):
+    """cli train-faceformer-vert --root trains on a VOCASET tree (subject
+    autodetect, windowed batches), incl. the --disentangle shuffle losses."""
+    from avi_talking_tpu.cli import main
+
+    rc = main([
+        "train-faceformer-vert", "--tiny", "--root", vocaset_root,
+        "--steps", "2", "--batch-size", "2", "--frames", "8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "autodetected subjects ['FaceTalk_A', 'FaceTalk_B']" in out
+    assert "'verts'" in out
+
+    rc = main([
+        "train-faceformer-vert", "--tiny", "--root", vocaset_root,
+        "--steps", "2", "--batch-size", "2", "--frames", "8",
+        "--disentangle",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'verts_eye_area'" in out and "'verts_mouth_area'" in out
+
+
 def test_vocaset_to_faceformer_vert_training(vocaset_root):
     """VOCASET loader -> vertex-space FaceFormer teacher-forced step (the
     SURVEY M0 slice: wav2vec2 -> AR decoder -> vertex offsets + template)."""
