@@ -820,8 +820,54 @@ def cmd_train_faceformer_vert(args) -> int:
 
     rng = np.random.default_rng(args.seed)
     B, T = args.batch_size, args.frames
+    if args.emo_cls and not args.mead_root:
+        raise SystemExit("--emo-cls needs --mead-root (MEAD emotion labels)")
 
-    if args.root:
+    flame = None
+    mead_batches = None
+    if args.mead_root:
+        # disentangle-variant training source (faceformer_disentangle.py:
+        # 648-697): MEAD EMOCA coeffs decoded to FLAME vertices in-graph
+        from .core import FlameModel, synthetic_assets
+        from .core.assets import default_assets_path, load_flame_assets
+        from .data import MeadEmocaDataset, batch_iterator
+        from .data.stats import CoeffStats
+        from .data.train_batches import FaceFormerBatchBuilder
+
+        if args.tiny:
+            assets = synthetic_assets(n_shape=8, n_exp=6)
+            flame = FlameModel(assets, n_shape=8, n_exp=6)
+        else:
+            npz = args.flame_npz or default_assets_path()
+            if not npz:
+                raise SystemExit("--mead-root needs FLAME assets "
+                                 "(--flame-npz) at full size")
+            assets = load_flame_assets(npz, 100, 50)
+            flame = FlameModel(assets, n_shape=100, n_exp=50)
+        ds = MeadEmocaDataset(root=args.mead_root, seq_length=T)
+        coeff_dim = flame.n_exp + 3  # [exp, jaw]
+        builder = FaceFormerBatchBuilder(
+            ds, frames=T, coeff_dim=coeff_dim, load_images=False)
+        if len(builder) == 0:
+            raise SystemExit(f"no usable MEAD clips under {args.mead_root}")
+        mead_batches = batch_iterator(
+            builder, batch_size=min(B, len(builder)), epochs=None)
+        B = min(B, len(builder))
+        stats = ds.stats or CoeffStats.identity(59)
+        coeff_mean = jnp.asarray(stats.mean)
+        coeff_std = jnp.asarray(stats.std)
+        template = flame.vertices_only(
+            jnp.zeros((1, flame.n_shape)), jnp.zeros((1, flame.n_exp)),
+            jnp.zeros((1, 6)),
+        ).reshape(-1)
+        vert_dim = int(template.shape[0])
+        n_subj = 1  # the reference feeds zero one-hots here
+
+        def batch():
+            b = next(mead_batches)
+            return (jnp.asarray(b["audio"]), jnp.asarray(b["coeff"]),
+                    jnp.zeros((B, n_subj)), jnp.asarray(b["emo_idx"]))
+    elif args.root:
         from .data.vocaset import VocasetDataset
 
         subjects = (args.train_subjects.split(",") if args.train_subjects
@@ -864,7 +910,7 @@ def cmd_train_faceformer_vert(args) -> int:
                     verts[j, win.shape[0]:] = win[-1]
             one_hot = np.stack([ds.items[k].one_hot for k in idxs])
             return (jnp.asarray(audio), jnp.asarray(verts),
-                    jnp.asarray(one_hot))
+                    jnp.asarray(one_hot), jnp.zeros((B,), jnp.int32))
     else:
         vert_dim = 30 if args.tiny else 15069
         template = jnp.asarray(
@@ -879,6 +925,7 @@ def cmd_train_faceformer_vert(args) -> int:
                     * 0.01),
                 jnp.asarray(np.eye(n_subj, dtype=np.float32)[
                     rng.integers(0, n_subj, size=B)]),
+                jnp.zeros((B,), jnp.int32),
             )
 
     cfg = FaceFormerVertConfig(
@@ -897,7 +944,9 @@ def cmd_train_faceformer_vert(args) -> int:
         from .core.assets import default_assets_path, load_flame_assets
 
         npz = args.flame_npz or default_assets_path()
-        if npz and vert_dim == 15069:
+        if flame is not None and vert_dim == 15069:
+            selector = FlameRegionSelector.from_assets(assets)
+        elif npz and vert_dim == 15069:
             selector = FlameRegionSelector.from_assets(
                 load_flame_assets(npz, 100, 50))
         else:
@@ -913,27 +962,76 @@ def cmd_train_faceformer_vert(args) -> int:
             print("train-faceformer-vert: region masks thresholded from "
                   "the data template (no FLAME assets)", file=sys.stderr)
 
-    audio0, verts0, oh0 = batch()
+    if args.mead_root:
+        from .models.faceformer_vert import convert_coeff2verts
+
+        def to_verts(payload):  # (B, T, coeff_dim) normalised -> (B, T, V*3)
+            flat = payload.reshape(-1, payload.shape[-1])
+            return convert_coeff2verts(
+                flame, flat, coeff_mean, coeff_std
+            ).reshape(payload.shape[0], payload.shape[1], -1)
+    else:
+        def to_verts(payload):
+            return payload
+
+    emo_cls = None
+    if args.emo_cls:
+        # frozen FAN + cls head over rendered predicted frames
+        # (faceformer_disentangle.py:718-731); random-init without ckpts
+        from .models import FanEncoder, fan_encoder_params_from_torch
+        from .train.emo_cls import EmoClsHead, EmoClsLoss
+
+        fan = FanEncoder()
+        fan_size = 64 if args.tiny else 224
+        if args.fan_checkpoint:
+            import torch as _torch
+
+            sd = _torch.load(args.fan_checkpoint, map_location="cpu",
+                             weights_only=False)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            fan_vars = fan_encoder_params_from_torch(sd)
+        else:
+            fan_vars = fan.init(
+                jax.random.PRNGKey(5), jnp.zeros((1, fan_size, fan_size, 3)))
+            print("train-faceformer-vert: no --fan-checkpoint; the frozen "
+                  "FAN/cls towers are RANDOM-init (smoke semantics)",
+                  file=sys.stderr)
+        head = EmoClsHead()
+        head_vars = head.init(jax.random.PRNGKey(6), jnp.zeros((1, 512)))
+        emo_cls = EmoClsLoss(
+            faces=jnp.asarray(assets.faces), fan=fan, fan_vars=fan_vars,
+            head=head, head_vars=head_vars,
+            render_size=fan_size, fan_size=fan_size,
+            stride=min(20, T),
+        )
+
+    audio0, payload0, oh0, _ = batch()
     emo0 = jnp.zeros((B, T, cfg.emo_dim))
+    verts0 = to_verts(payload0)
     params = model.init(jax.random.PRNGKey(0), audio0, verts0, emo0, oh0)
     tx = optax.adam(args.lr)
     opt = tx.init(params)
 
-    if args.disentangle:
-        def loss_fn(p, audio, verts, one_hot, emo, step_rng):
+    def loss_fn(p, audio, payload, one_hot, emo, emo_idx, step_rng):
+        verts = to_verts(payload)
+        if args.disentangle:
             terms = disentangle_losses(
                 model, p, audio, verts, emo, selector, step_rng)
-            return sum(terms.values()), terms
-    else:
-        def loss_fn(p, audio, verts, one_hot, emo, step_rng):
+        else:
             pred = model.apply(p, audio, verts, emo, one_hot)
-            l = jnp.mean((pred - verts) ** 2)
-            return l, {"verts": l}
+            terms = {"verts": jnp.mean((pred - verts) ** 2)}
+        if emo_cls is not None:
+            # teacher-forced pred; XLA CSE folds the duplicate apply in
+            # the disentangle case
+            pred = model.apply(p, audio, verts, emo, one_hot)
+            terms["emo_cls"] = 0.1 * emo_cls(pred, emo_idx)
+        return sum(terms.values()), terms
 
     @jax.jit
-    def step(params, opt, audio, verts, one_hot, emo, step_rng):
+    def step(params, opt, audio, payload, one_hot, emo, emo_idx, step_rng):
         (loss, terms), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, audio, verts, one_hot, emo, step_rng)
+            params, audio, payload, one_hot, emo, emo_idx, step_rng)
         upd, opt2 = tx.update(g, opt)
         return optax.apply_updates(params, upd), opt2, loss, terms
 
@@ -941,12 +1039,13 @@ def cmd_train_faceformer_vert(args) -> int:
 
     t0 = _t.time()
     for i in range(args.steps):
-        audio, verts, one_hot = batch()
+        audio, payload, one_hot, emo_idx = batch()
         emo = jnp.asarray(
             rng.standard_normal((B, T, cfg.emo_dim)).astype(np.float32)
         ) if args.disentangle else emo0
         params, opt, loss, terms = step(
-            params, opt, audio, verts, one_hot, emo, jax.random.PRNGKey(i))
+            params, opt, audio, payload, one_hot, emo, emo_idx,
+            jax.random.PRNGKey(i))
         if (i + 1) % 50 == 0:
             print(f"step {i+1}: loss={float(loss):.5f} "
                   f"({(i+1)/(_t.time()-t0):.1f} it/s)")
@@ -1238,6 +1337,15 @@ def main(argv=None) -> int:
                     choices=("vocaset", "BIWI"))
     tv.add_argument("--disentangle", action="store_true",
                     help="cross-modal shuffle losses (eye/mouth region MSE)")
+    tv.add_argument("--mead-root", default=None,
+                    help="MEAD/EMOCA root: coeffs decoded to FLAME verts "
+                         "in-graph (the disentangle variant's data source)")
+    tv.add_argument("--emo-cls", action="store_true",
+                    help="emotion CE on rendered predicted frames via the "
+                         "frozen FAN tower (needs --mead-root)")
+    tv.add_argument("--fan-checkpoint", default=None,
+                    help="torch FanEncoder ckpt for the frozen emo-cls "
+                         "tower (random-init without it)")
     tv.add_argument("--ckpt-dir", default=None)
     common(tv)
     tv.set_defaults(fn=cmd_train_faceformer_vert)

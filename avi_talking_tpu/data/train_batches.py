@@ -173,8 +173,11 @@ class FaceFormerBatchBuilder:
       img        (frames, H, W, 3)   detection crops (only when the root has
                                      them and ``load_images``)
       ref_img    (frames, H, W, 3)   neutral-reference crops (with images)
+      emo_idx    ()                  int MEAD emotion label (train.emo_cls
+                                     EMO2IDX order; -1 if unparseable)
     pose/cam/ref_img feed the PIRender render loss
-    (train.render_loss.PIRenderRenderLoss batch contract).
+    (train.render_loss.PIRenderRenderLoss batch contract); emo_idx feeds
+    the disentangle emo-cls loss (faceformer_disentangle.py:719).
     """
 
     ds: MeadEmocaDataset
@@ -210,6 +213,13 @@ class FaceFormerBatchBuilder:
         mask = np.zeros((T,), np.float32)
         mask[:L] = 1.0
         out["frame_mask"] = mask
+        from ..train.emo_cls import EMO2IDX
+
+        name = self.ds.index[self.valid[k]].get("name", "")
+        parts = name.split("_")
+        out["emo_idx"] = np.int32(
+            EMO2IDX.get(parts[2], -1) if len(parts) > 2 else -1
+        )
         for key in ("pose", "cam"):
             v = np.asarray(item[key], np.float32)
             padded = np.zeros((T, v.shape[1]), np.float32)

@@ -168,6 +168,7 @@ class FanEncoder(nn.Module):
         _, emo = _Head(self.emo_dim, self.dtype, name="emo")(feat, train)
         return headpose, eye, emo, mouth_feat
 
+    @nn.compact
     def backbone_feature(self, x, train: bool = False):
         return FanBackbone(self.dtype, name="model")(x, train)
 

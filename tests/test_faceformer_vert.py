@@ -106,3 +106,38 @@ def test_disentangle_losses(tiny):
     assert set(losses) == {"verts", "verts_eye_area", "verts_mouth_area"}
     for v in losses.values():
         assert np.isfinite(float(v))
+
+
+def test_emo_cls_loss():
+    """w_emo_cls_loss semantics (faceformer_disentangle.py:718-731): sampled
+    frames rendered -> frozen FAN features -> CE vs the clip emotion label;
+    differentiable w.r.t. vertices; -1 labels masked out."""
+    from avi_talking_tpu.models import FanEncoder
+    from avi_talking_tpu.train.emo_cls import EMO2IDX, EmoClsHead, EmoClsLoss
+
+    assert EMO2IDX["happy"] == 5 and len(EMO2IDX) == 8
+
+    assets = synthetic_assets(n_shape=8, n_exp=6)
+    fan = FanEncoder()
+    fan_vars = fan.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    head = EmoClsHead()
+    head_vars = head.init(jax.random.PRNGKey(1), jnp.zeros((1, 512)))
+    loss_fn = EmoClsLoss(
+        faces=jnp.asarray(assets.faces), fan=fan, fan_vars=fan_vars,
+        head=head, head_vars=head_vars, render_size=64, fan_size=64,
+        stride=4,
+    )
+    rng = np.random.default_rng(3)
+    B, T, V = 2, 8, assets.num_vertices
+    verts = jnp.asarray(
+        rng.standard_normal((B, T, V * 3)).astype(np.float32) * 0.1)
+    labels = jnp.asarray([5, 1], jnp.int32)
+    loss = loss_fn(verts, labels)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    g = jax.grad(lambda v: loss_fn(v, labels))(verts)
+    assert np.isfinite(np.asarray(g)).all()
+    # -1 labels contribute nothing; all-invalid batches stay finite
+    l_mask = loss_fn(verts, jnp.asarray([5, -1], jnp.int32))
+    assert np.isfinite(float(l_mask))
+    l_none = loss_fn(verts, jnp.asarray([-1, -1], jnp.int32))
+    assert float(l_none) == 0.0

@@ -273,6 +273,22 @@ def test_cli_train_faceformer_emo_loss(mead_root, capsys):
     assert "'emo'" in out and "'render'" in out
 
 
+def test_cli_train_faceformer_vert_mead(mead_root, capsys):
+    """cli train-faceformer-vert --mead-root: the disentangle variant's
+    data source — MEAD coeffs decoded to FLAME verts in-graph, shuffle
+    losses + rendered emo-cls CE (faceformer_disentangle.py:648-731)."""
+    from avi_talking_tpu.cli import main
+
+    rc = main([
+        "train-faceformer-vert", "--tiny", "--mead-root", mead_root,
+        "--steps", "1", "--batch-size", "2", "--frames", "8",
+        "--disentangle", "--emo-cls",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'verts_eye_area'" in out and "'emo_cls'" in out
+
+
 def test_cli_train_flint_real_root(mead_root, capsys):
     """cli train-flint --root trains the motion prior on real MEAD motion
     windows (denormalised exp+jaw) instead of synthetic noise."""
