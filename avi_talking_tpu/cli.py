@@ -820,8 +820,10 @@ def cmd_train_faceformer_vert(args) -> int:
 
     rng = np.random.default_rng(args.seed)
     B, T = args.batch_size, args.frames
-    if args.emo_cls and not args.mead_root:
-        raise SystemExit("--emo-cls needs --mead-root (MEAD emotion labels)")
+    if (args.emo_cls or args.emo_cls_pretrain) and not args.mead_root:
+        raise SystemExit(
+            "--emo-cls / --emo-cls-pretrain need --mead-root "
+            "(MEAD emotion labels)")
 
     flame = None
     mead_batches = None
@@ -975,7 +977,7 @@ def cmd_train_faceformer_vert(args) -> int:
             return payload
 
     emo_cls = None
-    if args.emo_cls:
+    if args.emo_cls or args.emo_cls_pretrain:
         # frozen FAN + cls head over rendered predicted frames
         # (faceformer_disentangle.py:718-731); random-init without ckpts
         from .models import FanEncoder, fan_encoder_params_from_torch
@@ -999,12 +1001,48 @@ def cmd_train_faceformer_vert(args) -> int:
                   file=sys.stderr)
         head = EmoClsHead()
         head_vars = head.init(jax.random.PRNGKey(6), jnp.zeros((1, 512)))
+        if args.head_checkpoint:
+            from .infra.checkpoint import restore_checkpoint
+
+            head_vars = restore_checkpoint(
+                args.head_checkpoint, {"emo_cls_head": head_vars}
+            )["emo_cls_head"]
         emo_cls = EmoClsLoss(
             faces=jnp.asarray(assets.faces), fan=fan, fan_vars=fan_vars,
             head=head, head_vars=head_vars,
             render_size=fan_size, fan_size=fan_size,
-            stride=min(20, T),
+            stride=1 if args.emo_cls_pretrain else min(20, T),
         )
+
+    if args.emo_cls_pretrain:
+        # is_emonet_pretrain stage (faceformer_disentangle.py:484-512):
+        # train ONLY the cls head on GT-vertex renders (all frames),
+        # FAN features detached
+        head_params = emo_cls.head_vars
+        tx = optax.adam(args.lr)
+        opt = tx.init(head_params)
+
+        def pre_loss(hv, payload, emo_idx):
+            return emo_cls(to_verts(payload), emo_idx, head_vars=hv)
+
+        @jax.jit
+        def pre_step(hv, opt, payload, emo_idx):
+            loss, g = jax.value_and_grad(pre_loss)(hv, payload, emo_idx)
+            upd, opt2 = tx.update(g, opt)
+            return optax.apply_updates(hv, upd), opt2, loss
+
+        for i in range(args.steps):
+            _, payload, _, emo_idx = batch()
+            head_params, opt, loss = pre_step(head_params, opt, payload,
+                                              emo_idx)
+            if (i + 1) % 50 == 0:
+                print(f"pretrain step {i+1}: emo_cls={float(loss):.4f}")
+        if args.ckpt_dir:
+            from .infra.checkpoint import save_checkpoint
+
+            save_checkpoint(args.ckpt_dir, {"emo_cls_head": head_params})
+        print("final:", {"emo_cls": float(loss)})
+        return 0
 
     audio0, payload0, oh0, _ = batch()
     emo0 = jnp.zeros((B, T, cfg.emo_dim))
@@ -1343,6 +1381,11 @@ def main(argv=None) -> int:
     tv.add_argument("--emo-cls", action="store_true",
                     help="emotion CE on rendered predicted frames via the "
                          "frozen FAN tower (needs --mead-root)")
+    tv.add_argument("--emo-cls-pretrain", action="store_true",
+                    help="pretrain ONLY the emo-cls head on GT renders "
+                         "(is_emonet_pretrain stage; needs --mead-root)")
+    tv.add_argument("--head-checkpoint", default=None,
+                    help="orbax ckpt dir with a pretrained emo_cls_head")
     tv.add_argument("--fan-checkpoint", default=None,
                     help="torch FanEncoder ckpt for the frozen emo-cls "
                          "tower (random-init without it)")

@@ -66,7 +66,12 @@ class EmoClsLoss:
     fan_size: int = 224
     stride: int = 20  # sample_index = range(0, T, 20)
 
-    def __call__(self, pred_verts: jax.Array, emo_label: jax.Array) -> jax.Array:
+    def __call__(self, pred_verts: jax.Array, emo_label: jax.Array,
+                 head_vars: Any = None) -> jax.Array:
+        """``head_vars`` overrides the stored (frozen) head parameters —
+        the emonet-pretrain stage (faceformer_disentangle.py:484-512)
+        passes the trainable head here while the render + FAN features
+        stay stop-gradiented."""
         B, T = pred_verts.shape[:2]
         idx = jnp.arange(0, T, self.stride)
         S = idx.shape[0]
@@ -89,7 +94,11 @@ class EmoClsLoss:
         feat = self.fan.apply(
             self.fan_vars, imgs, method=FanEncoder.backbone_feature
         )
-        logits = self.head.apply(self.head_vars, feat)
+        if head_vars is None:
+            head_vars = self.head_vars
+        else:  # pretrain: only the head learns (feat.detach())
+            feat = jax.lax.stop_gradient(feat)
+        logits = self.head.apply(head_vars, feat)
         labels = jnp.repeat(emo_label, S)  # expand + reshape(-1)
         valid = (labels >= 0).astype(logits.dtype)  # -1 = unparseable clip
         ce = optax.softmax_cross_entropy_with_integer_labels(

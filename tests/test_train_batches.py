@@ -289,6 +289,30 @@ def test_cli_train_faceformer_vert_mead(mead_root, capsys):
     assert "'verts_eye_area'" in out and "'emo_cls'" in out
 
 
+def test_cli_emo_cls_pretrain_roundtrip(mead_root, capsys, tmp_path):
+    """is_emonet_pretrain stage: train only the cls head on GT renders,
+    save, then feed the pretrained head into --emo-cls."""
+    from avi_talking_tpu.cli import main
+
+    ckpt = str(tmp_path / "head")
+    rc = main([
+        "train-faceformer-vert", "--tiny", "--mead-root", mead_root,
+        "--steps", "2", "--batch-size", "2", "--frames", "8",
+        "--emo-cls-pretrain", "--ckpt-dir", ckpt,
+    ])
+    assert rc == 0
+    assert "'emo_cls'" in capsys.readouterr().out
+
+    rc = main([
+        "train-faceformer-vert", "--tiny", "--mead-root", mead_root,
+        "--steps", "1", "--batch-size", "2", "--frames", "8",
+        "--emo-cls", "--head-checkpoint", ckpt,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'verts'" in out and "'emo_cls'" in out
+
+
 def test_cli_train_flint_real_root(mead_root, capsys):
     """cli train-flint --root trains the motion prior on real MEAD motion
     windows (denormalised exp+jaw) instead of synthetic noise."""
