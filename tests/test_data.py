@@ -230,6 +230,7 @@ def test_mead_to_faceformer_training_integration(mead_root):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_cli_train_faceformer_vert(vocaset_root, capsys):
     """cli train-faceformer-vert --root trains on a VOCASET tree (subject
     autodetect, windowed batches), incl. the --disentangle shuffle losses."""
@@ -338,6 +339,7 @@ def test_mead_dataset_loads_images(mead_root):
     assert (np.diff(offs) == 1).all()
 
 
+@pytest.mark.slow
 def test_stage1_render_loss_consumes_decoded_images(mead_root):
     """Stage-1 training wiring on REAL decoded PNGs: dataset -> batch ->
     PIRenderRenderLoss gradient step (verdict item 4)."""

@@ -131,6 +131,7 @@ def test_world2uv_and_detail_normals_flat_plane():
     assert edge[2] < 0.9
 
 
+@pytest.mark.slow
 def test_deca_detail_model_end_to_end():
     """decode(): jaw+exp+detail -> uv_z -> per-batch detail normal maps."""
     n = 6

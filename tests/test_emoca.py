@@ -210,6 +210,7 @@ def test_lipread_net_and_loss():
     assert float(loss_fn(half, crops, mask=mask)) < float(loss_fn(half, crops))
 
 
+@pytest.mark.slow
 def test_preprocessors():
     from avi_talking_tpu.core import FlameModel, synthetic_assets
     from avi_talking_tpu.models.preprocessors import (

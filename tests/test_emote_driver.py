@@ -40,6 +40,7 @@ def setup():
     return head, params, batch
 
 
+@pytest.mark.slow
 def test_staged_training_runs_and_improves(setup, tmp_path):
     head, params, batch = setup
 

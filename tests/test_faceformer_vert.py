@@ -108,6 +108,7 @@ def test_disentangle_losses(tiny):
         assert np.isfinite(float(v))
 
 
+@pytest.mark.slow
 def test_emo_cls_loss():
     """w_emo_cls_loss semantics (faceformer_disentangle.py:718-731): sampled
     frames rendered -> frozen FAN features -> CE vs the clip emotion label;

@@ -1,5 +1,6 @@
 """FLINT VAE roundtrip + SpecAugment masking tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -147,6 +148,7 @@ def test_vector_quantizer_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(g), np.ones_like(z), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_flint_vqvae_trains_and_uses_codebook():
     import optax
 

@@ -1,5 +1,6 @@
 """infra: config roundtrip, orbax checkpoint roundtrip, meters, importer."""
 
+import pytest
 import os
 
 import jax
@@ -146,6 +147,7 @@ def test_early_stopping():
     assert es.stopped
 
 
+@pytest.mark.slow
 def test_train_prior_early_stop_and_run_dir(tmp_path):
     """Early stopping halts before total_steps on a stagnant val metric, and
     run_dir wires logs/ + checkpoints/ + cfg snapshot."""

@@ -100,6 +100,7 @@ def test_generate_batch(pipe):
             assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
 def test_train_then_serve_roundtrip(tmp_path):
     """cli train-prior checkpoint -> pipeline.load_prior_checkpoint."""
     from avi_talking_tpu.train.driver import (
@@ -131,6 +132,7 @@ def test_train_then_serve_roundtrip(tmp_path):
     assert np.isfinite(after).all()
 
 
+@pytest.mark.slow
 def test_pipeline_save_load(tmp_path, pipe):
     path = str(tmp_path / "pipe_ck")
     pipe.save(path)

@@ -1,5 +1,6 @@
 """PIRender components: shape/jit tests + torch-parity for the tricky ops."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,6 +116,7 @@ def test_conv_transpose2d_mapping():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pirender_trainer_two_stages():
     import jax.numpy as jnp
     import optax
@@ -155,6 +157,7 @@ def test_pirender_trainer_two_stages():
     assert np.isfinite(float(m_full["loss"]))
 
 
+@pytest.mark.slow
 def test_pirender_render_loss_composition():
     """Full stage-1 render-loss path: coeff -> descriptor window -> PIRender
     -> upper-face-masked perceptual losses."""
@@ -210,6 +213,7 @@ def test_pirender_render_loss_composition():
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+@pytest.mark.slow
 def test_pirender_render_emo_loss():
     """--emo-loss path: EmoNet feature distance on the PIRender fake_image
     rides the same generator forward and the loss returns a term dict
@@ -501,6 +505,7 @@ def _build_torch_facegen(cfg):
     return TFaceGen()
 
 
+@pytest.mark.slow
 def test_facegenerator_full_torch_import_parity():
     """pirender_params_from_torch maps a published-layout net_G state dict
     onto our FaceGenerator bit-compatibly (flow, warp and fake image)."""
@@ -531,6 +536,7 @@ def test_facegenerator_full_torch_import_parity():
             atol=5e-4, rtol=1e-3, err_msg=key)
 
 
+@pytest.mark.slow
 def test_pirender_trainer_adversarial_stage():
     """Optional GAN term (the reference BaseTrainer's net_D interface):
     G sees hinge + feature-matching, D trains on stop-grad fakes."""

@@ -139,6 +139,7 @@ def test_featurizer_shapes_and_batching(tmp_path):
     assert big["voxel"].shape[0] == 10
 
 
+@pytest.mark.slow
 def test_prior_corpus_overfit_retrieval(tmp_path):
     """The verdict's done-criterion: training the prior on an on-disk MEAD
     caption corpus via the bridge drives fwd/bwd retrieval toward 1.0."""

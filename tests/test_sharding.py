@@ -48,6 +48,7 @@ def test_dp_matmul_matches_single_device():
 
 
 @requires_8
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util, pathlib
 
@@ -99,6 +100,7 @@ def test_fsdp_extend_spec_rules():
 
 
 @requires_8
+@pytest.mark.slow
 def test_fsdp_train_step_matches_replicated():
     """FSDP (params + Adam moments sharded over dp) must be numerically
     identical to the replicated dp step — GSPMD only changes layout."""

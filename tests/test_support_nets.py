@@ -354,6 +354,7 @@ def test_feature_matching_and_multiscale_loss_shapes():
     assert float(feature_matching_loss(real_out, real_out)) == 0.0
 
 
+@pytest.mark.slow
 def test_discriminator_trains_to_separate():
     """One overfit sanity step: hinge D loss decreases under adam."""
     import optax

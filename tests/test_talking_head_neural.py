@@ -110,6 +110,7 @@ NEURAL_TERMS = (
 )
 
 
+@pytest.mark.slow
 def test_neural_losses_wired_and_decreasing(setup):
     head, params, batch, neural = setup
     tx = optax.adam(3e-3)
@@ -136,6 +137,7 @@ def test_neural_losses_wired_and_decreasing(setup):
     assert first["loss_lipread_disentangled"] != first["loss_lipread"]
 
 
+@pytest.mark.slow
 def test_neural_losses_off_by_default(setup):
     head, params, batch, _ = setup
     tx = optax.adam(1e-3)
@@ -147,6 +149,7 @@ def test_neural_losses_off_by_default(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_condition_exchange_geometric_loss_on_original_half(setup):
     """Geometric losses must ignore the exchanged half: doubling the batch
     with exchanged styles must not change loss_exp vs the plain batch at the

@@ -1,5 +1,6 @@
 """Training-step tests: losses match reference math, steps reduce loss."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +71,7 @@ def _trainer(dim=32):
     return PriorTrainer(brain=brain, prior=prior, tx=tx), params
 
 
+@pytest.mark.slow
 def test_prior_train_steps_reduce_loss():
     trainer, params = _trainer()
     state = PriorTrainState.create(params, trainer.tx)
@@ -104,6 +106,7 @@ def test_weight_decay_mask_excludes_norms_and_biases():
     assert mask["attn"]["g"] is False
 
 
+@pytest.mark.slow
 def test_train_prior_driver_synthetic():
     from avi_talking_tpu.train.driver import (
         PriorTrainingConfig,

@@ -214,6 +214,7 @@ def test_fan_conditioner(mead_root):
     assert (idx >= 0).all() and (idx < 20).all()
 
 
+@pytest.mark.slow
 def test_cli_train_emote_real_root(mead_root, capsys, tmp_path):
     """cli train-emote --root trains on disk data with a real val split."""
     from avi_talking_tpu.cli import main
@@ -229,6 +230,7 @@ def test_cli_train_emote_real_root(mead_root, capsys, tmp_path):
     assert "done:" in out
 
 
+@pytest.mark.slow
 def test_cli_train_faceformer_real_root_with_conditioning(mead_root, capsys):
     """cli train-faceformer --root runs the FanEncoder conditioning path
     (eye/emo embeds + ref style) instead of silently dropping it."""
@@ -243,6 +245,7 @@ def test_cli_train_faceformer_real_root_with_conditioning(mead_root, capsys):
     assert "final:" in out
 
 
+@pytest.mark.slow
 def test_cli_train_faceformer_render_loss(mead_root, capsys):
     """cli train-faceformer --render-loss runs the stage-1 PIRender
     upper-face perceptual loss in the jitted step (faceformer.py:488-566)."""
@@ -259,6 +262,7 @@ def test_cli_train_faceformer_render_loss(mead_root, capsys):
     assert "'render'" in out
 
 
+@pytest.mark.slow
 def test_cli_train_faceformer_emo_loss(mead_root, capsys):
     """cli train-faceformer --emo-loss adds the EmoNet feature term on the
     PIRender renders (render weight 0 without --render-loss)."""
@@ -273,6 +277,7 @@ def test_cli_train_faceformer_emo_loss(mead_root, capsys):
     assert "'emo'" in out and "'render'" in out
 
 
+@pytest.mark.slow
 def test_cli_train_faceformer_vert_mead(mead_root, capsys):
     """cli train-faceformer-vert --mead-root: the disentangle variant's
     data source — MEAD coeffs decoded to FLAME verts in-graph, shuffle
@@ -289,6 +294,7 @@ def test_cli_train_faceformer_vert_mead(mead_root, capsys):
     assert "'verts_eye_area'" in out and "'emo_cls'" in out
 
 
+@pytest.mark.slow
 def test_cli_emo_cls_pretrain_roundtrip(mead_root, capsys, tmp_path):
     """is_emonet_pretrain stage: train only the cls head on GT renders,
     save, then feed the pretrained head into --emo-cls."""
@@ -328,6 +334,7 @@ def test_cli_train_flint_real_root(mead_root, capsys):
     assert "final:" in out
 
 
+@pytest.mark.slow
 def test_cli_train_emote_neural_real_root(mead_root, capsys):
     """cli train-emote --root --neural: perceptual stage on real data with
     gt meshes decoded in-loss from the coeffs (no gt_vertices in batch)."""
