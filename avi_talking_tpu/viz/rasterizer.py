@@ -334,6 +334,16 @@ def rasterize_binned_batch(vertices, faces, attributes, height, width,
     )(vertices, attributes)
 
 
+def _bary_weights(x0, y0, x1, y1, x2, y2, pxg, pyg):
+    """Shared barycentric math so the custom_vjp fwd/bwd formulations in
+    ``rasterize_binned_pallas`` stay bit-identical (same op order)."""
+    denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    w0 = ((y1 - y2) * (pxg - x2) + (x2 - x1) * (pyg - y2)) / safe
+    w1 = ((y2 - y0) * (pxg - x2) + (x0 - x2) * (pyg - y2)) / safe
+    return w0, w1, 1.0 - w0 - w1
+
+
 def rasterize_binned_pallas(
     vertices: jax.Array,
     faces: jax.Array,
@@ -350,9 +360,10 @@ def rasterize_binned_pallas(
     fully differentiable: the kernel resolves (winner face, depth) per pixel
     under stop_gradient — exactly the role argmin plays in the XLA path —
     and attribute interpolation is recomputed here in XLA so gradients flow
-    into ``vertices``/``attributes``. Measured on v5e at FLAME scale:
-    256^2 tile=32 cap=1024 -> ~3 ms/frame end-to-end vs 9.6 ms XLA binned —
-    the DEFAULT on TPU via ``rasterize_auto``."""
+    into ``vertices``/``attributes``. Perf: see bench.py
+    ``raster_256_pallas_ms`` (the single source of truth; ~4.6-7.9 ms/frame
+    across rounds vs ~10 ms XLA binned at 256^2 tile=32 cap=1024,
+    tunnel-load variance) — the DEFAULT on TPU via ``rasterize_auto``."""
     from ..ops.pallas.rasterize import rasterize_tiles_visibility
 
     F = faces.shape[0]
@@ -373,30 +384,84 @@ def rasterize_binned_pallas(
         covered, jnp.take_along_axis(face_ids, jnp.maximum(slot, 0), axis=1), F
     )  # (n_tiles, px_n)
 
-    # differentiable interpolation: one face per pixel, plain XLA
-    attr_tri = jnp.concatenate(
-        [attributes[faces], jnp.zeros((1, 3, C), attributes.dtype)], axis=0
+    # differentiable interpolation: one face per pixel, plain XLA, under a
+    # custom_vjp that uses DIFFERENT formulations for the two directions.
+    #
+    # LAYOUT NOTE (the OOM that motivated this shape): gathering whole
+    # corner/attribute blocks per pixel — tri_p[gid] (n_tiles, px_n, 3, 3)
+    # and attr_tri[gid] (n_tiles, px_n, 3, C) — is the FAST forward (one
+    # gather each), but differentiating it makes the backward accumulate
+    # cotangents in those same shapes, and XLA tile-pads the trailing
+    # (3, 3)/(3, C) minor dims to (4..8, 128): measured 56.9x padding
+    # expansion — a 12.25 GB HLO temp (gather cotangent) plus a 2.44 GB
+    # (frames, F+1, 3, 3) table cotangent for one (4, 32)-frame render-loss
+    # step at 224^2, >16G HBM. The backward therefore re-derives the same
+    # pixels from per-COMPONENT tables ((F+1,) per corner coordinate,
+    # (C, F+1) per attribute row, built straight from vertices/attributes)
+    # and vjp's through that: every gather cotangent is then
+    # (n_tiles, px_n)-shaped, which tiles perfectly. Both formulations are
+    # bit-identical in value; the boundary output is C-LEADING so the
+    # incoming pixel cotangent tiles on (n_tiles, px_n) too. Measured v5e,
+    # FLAME @256^2: fwd 4.6 ms/frame (component-only fwd was 8.3), and the
+    # neural render-loss train step fits in HBM.
+    # gid/covered are per-frame (batched under vmap) so they MUST be
+    # explicit custom_vjp args (a closed-over BatchTracer escapes the
+    # custom_vjp trace); faces/pxg/pyg are per-call constants and safe to
+    # close over. Their cotangents are None (non-differentiable).
+    dtype = vertices.dtype
+
+    def _pix_block(v, a, gid_, cov):  # fast fwd -> (C, n_tiles, px_n)
+        tri_pp = jnp.concatenate([v[faces], jnp.zeros((1, 3, 3), dtype)], 0)
+        attr_tri = jnp.concatenate([a[faces], jnp.zeros((1, 3, C), a.dtype)], 0)
+        corners = tri_pp[gid_]  # (n_tiles, px_n, 3, 3)
+        at = attr_tri[gid_]  # (n_tiles, px_n, 3, C)
+        x0, y0 = corners[..., 0, 0], corners[..., 0, 1]
+        x1, y1 = corners[..., 1, 0], corners[..., 1, 1]
+        x2, y2 = corners[..., 2, 0], corners[..., 2, 1]
+        w0, w1, w2 = _bary_weights(x0, y0, x1, y1, x2, y2, pxg, pyg)
+        pix = (
+            w0[..., None] * at[..., 0, :]
+            + w1[..., None] * at[..., 1, :]
+            + w2[..., None] * at[..., 2, :]
+        )
+        pix = jnp.where(cov[..., None], pix, 0.0)
+        return jnp.moveaxis(pix, -1, 0)
+
+    def _pix_comp(v, a, gid_, cov):  # layout-friendly twin, same values
+        def corner_table(k, d):  # (F+1,): corner k's coord d, 0 sentinel
+            return jnp.concatenate([v[:, d][faces[:, k]], jnp.zeros((1,), dtype)])
+
+        x0, y0 = corner_table(0, 0)[gid_], corner_table(0, 1)[gid_]
+        x1, y1 = corner_table(1, 0)[gid_], corner_table(1, 1)[gid_]
+        x2, y2 = corner_table(2, 0)[gid_], corner_table(2, 1)[gid_]
+        ws = _bary_weights(x0, y0, x1, y1, x2, y2, pxg, pyg)
+        attr_t = jnp.moveaxis(a, -1, 0)  # (C, V)
+        pix_t = 0.0
+        for k, w in enumerate(ws):
+            table = jnp.concatenate(
+                [attr_t[:, faces[:, k]], jnp.zeros((C, 1), a.dtype)], axis=1
+            )  # (C, F+1)
+            pix_t = pix_t + w[None] * table[:, gid_]
+        return jnp.where(cov[None], pix_t, 0.0)
+
+    interp = jax.custom_vjp(_pix_block)
+
+    def _interp_bwd(res, g):
+        v, a, gid_, cov = res
+        dv, da = jax.vjp(
+            lambda vv, aa: _pix_comp(vv, aa, gid_, cov), v, a
+        )[1](g)
+        return dv, da, None, None
+
+    interp.defvjp(
+        lambda v, a, gid_, cov: (_pix_block(v, a, gid_, cov), (v, a, gid_, cov)),
+        _interp_bwd,
     )
-    corners = tri_p[gid]  # (n_tiles, px_n, 3, 3)
-    a = attr_tri[gid]  # (n_tiles, px_n, 3, C)
-    x0, y0 = corners[..., 0, 0], corners[..., 0, 1]
-    x1, y1 = corners[..., 1, 0], corners[..., 1, 1]
-    x2, y2 = corners[..., 2, 0], corners[..., 2, 1]
-    denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
-    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
-    w0 = ((y1 - y2) * (pxg - x2) + (x2 - x1) * (pyg - y2)) / safe
-    w1 = ((y2 - y0) * (pxg - x2) + (x0 - x2) * (pyg - y2)) / safe
-    w2 = 1.0 - w0 - w1
-    pix = (
-        w0[..., None] * a[..., 0, :]
-        + w1[..., None] * a[..., 1, :]
-        + w2[..., None] * a[..., 2, :]
-    )
-    pix = jnp.where(covered[..., None], pix, 0.0)
+    pix_t = interp(vertices, attributes, gid, covered)
 
     img = (
-        pix.reshape(ty, tx, tile, tile, C)
-        .transpose(0, 2, 1, 3, 4)
+        pix_t.reshape(C, ty, tx, tile, tile)
+        .transpose(1, 3, 2, 4, 0)
         .reshape(height, width, C)
     )
     m = covered.reshape(ty, tx, tile, tile).transpose(0, 2, 1, 3).reshape(height, width)
