@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--seconds", type=int, default=8)
     ap.add_argument("--neural", action="store_true",
                     help="also profile the neural-loss step")
+    ap.add_argument("--neural-only", action="store_true",
+                    help="skip the geometric sweep; profile only the "
+                         "neural-loss step (implies --neural)")
     ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
 
@@ -109,17 +112,18 @@ def main():
               f"AI={ai:6.1f} flop/B bw={bw:6.0f}GB/s")
         return dt, flops, bytes_acc
 
-    for Bt in [int(b) for b in args.batches.split(",")]:
-        measure(Bt, donate=False, label="geometric fp32-params")
-    B0 = int(args.batches.split(",")[0])
-    measure(B0, donate=True, label="geometric fp32-params donated")
-    measure(B0, donate=True, label="geometric bf16-params donated",
-            param_dtype=jnp.bfloat16)
-    Blast = int(args.batches.split(",")[-1])
-    measure(Blast, donate=True, label="geometric fp32-params donated",
-            trace=True)
+    if not args.neural_only:
+        for Bt in [int(b) for b in args.batches.split(",")]:
+            measure(Bt, donate=False, label="geometric fp32-params")
+        B0 = int(args.batches.split(",")[0])
+        measure(B0, donate=True, label="geometric fp32-params donated")
+        measure(B0, donate=True, label="geometric bf16-params donated",
+                param_dtype=jnp.bfloat16)
+        Blast = int(args.batches.split(",")[-1])
+        measure(Blast, donate=True, label="geometric fp32-params donated",
+                trace=True)
 
-    if args.neural:
+    if args.neural or args.neural_only:
         from avi_talking_tpu.core import FlameModel, synthetic_assets
         from avi_talking_tpu.models.emoca import (
             EmoNetLoss,
