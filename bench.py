@@ -30,10 +30,12 @@ import numpy as np
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def _emit(metric, value, unit, vs_baseline=None):
+def _emit(metric, value, unit, vs_baseline=None, note=None):
     line = {"metric": metric, "value": value, "unit": unit}
     if vs_baseline is not None:
         line["vs_baseline"] = vs_baseline
+    if note is not None:
+        line["note"] = note
     print(json.dumps(line), flush=True)
 
 
@@ -288,7 +290,9 @@ def main():
             p50s.append(pct["p50"])
             thrps.append(served_audio / wall)
     _emit("serving_p50_ms", round(float(np.median(p50s)), 1),
-          "ms_per_8s_clip_served_median_of_3")
+          "ms_per_8s_clip_served_median_of_3",
+          note="random weights; hash tokenizer unless assets/clip_tokenizer"
+               " is vendored (tokenization cost negligible either way)")
     _emit("serving_p50_spread_ms",
           round(float(np.max(p50s) - np.min(p50s)), 1),
           "ms_max_minus_min_of_3")

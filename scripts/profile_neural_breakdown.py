@@ -112,16 +112,18 @@ def main():
         lw, ew, vw, dis = VAR[name]
         trainer = make(lw, ew, vw, dis)
         step = jax.jit(trainer.train_step, donate_argnums=(0, 1))
-        opt = tx.init(params)
+        # donation consumes the buffers — give each variant its own copy
+        p = jax.tree.map(jnp.copy, params)
+        opt = tx.init(p)
         t0 = time.perf_counter()
-        lowered = step.lower(params, opt, batch, jax.random.PRNGKey(0))
+        lowered = step.lower(p, opt, batch, jax.random.PRNGKey(0))
         compiled = lowered.compile()
         ct = time.perf_counter() - t0
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = ca.get("flops", float("nan"))
         byt = ca.get("bytes accessed", float("nan"))
-        p, o, m = step(params, opt, batch, jax.random.PRNGKey(0))
+        p, o, m = step(p, opt, batch, jax.random.PRNGKey(0))
         float(m["loss"])
         N = args.steps
         t0 = time.perf_counter()
