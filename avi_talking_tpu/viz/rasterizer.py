@@ -397,9 +397,10 @@ def rasterize_binned_pallas(
     # (frames, F+1, 3, 3) table cotangent for one (4, 32)-frame render-loss
     # step at 224^2, >16G HBM. The backward therefore re-derives the same
     # pixels from per-COMPONENT tables ((F+1,) per corner coordinate,
-    # (C, F+1) per attribute row, built straight from vertices/attributes)
-    # and vjp's through that: every gather cotangent is then
-    # (n_tiles, px_n)-shaped, which tiles perfectly. Both formulations are
+    # (C, F+1) per attribute row, built straight from vertices/attributes):
+    # every gather cotangent is then (n_tiles, px_n)-shaped, which tiles
+    # perfectly, and the bwd is hand-composed (see _interp_bwd) as
+    # elementwise-vjp + one packed scatter. Both formulations are
     # bit-identical in value; the boundary output is C-LEADING so the
     # incoming pixel cotangent tiles on (n_tiles, px_n) too. Measured v5e,
     # FLAME @256^2: fwd 4.6 ms/frame (component-only fwd was 8.3), and the
@@ -427,30 +428,60 @@ def rasterize_binned_pallas(
         pix = jnp.where(cov[..., None], pix, 0.0)
         return jnp.moveaxis(pix, -1, 0)
 
-    def _pix_comp(v, a, gid_, cov):  # layout-friendly twin, same values
-        def corner_table(k, d):  # (F+1,): corner k's coord d, 0 sentinel
-            return jnp.concatenate([v[:, d][faces[:, k]], jnp.zeros((1,), dtype)])
-
-        x0, y0 = corner_table(0, 0)[gid_], corner_table(0, 1)[gid_]
-        x1, y1 = corner_table(1, 0)[gid_], corner_table(1, 1)[gid_]
-        x2, y2 = corner_table(2, 0)[gid_], corner_table(2, 1)[gid_]
-        ws = _bary_weights(x0, y0, x1, y1, x2, y2, pxg, pyg)
-        attr_t = jnp.moveaxis(a, -1, 0)  # (C, V)
-        pix_t = 0.0
-        for k, w in enumerate(ws):
-            table = jnp.concatenate(
-                [attr_t[:, faces[:, k]], jnp.zeros((C, 1), a.dtype)], axis=1
-            )  # (C, F+1)
-            pix_t = pix_t + w[None] * table[:, gid_]
-        return jnp.where(cov[None], pix_t, 0.0)
-
     interp = jax.custom_vjp(_pix_block)
 
     def _interp_bwd(res, g):
+        # Hand-composed backward in three measured-cheap pieces (letting
+        # jax.vjp run through the whole component form instead produced a
+        # 206 s backward compile and 13.8 ms/frame of XLA overhead — 40x
+        # the cost of its constituent ops):
+        #   1. re-gather the per-pixel planes from component tables (the
+        #      same cheap gathers the forward uses, ~3.6 ms/frame total),
+        #   2. vjp through a PURE ELEMENTWISE pixel function of those
+        #      planes (fuses into one VPU pass),
+        #   3. ONE packed (6+3C)-channel scatter-add into (K, F+1) tables
+        #      (measured 0.3 ms/frame) + six tiny (F,)->(V,) scatters.
         v, a, gid_, cov = res
-        dv, da = jax.vjp(
-            lambda vv, aa: _pix_comp(vv, aa, gid_, cov), v, a
-        )[1](g)
+
+        def corner_table(k, d):  # (F+1,): corner k's coord d, 0 sentinel
+            return jnp.concatenate([v[:, d][faces[:, k]], jnp.zeros((1,), dtype)])
+
+        planes = tuple(
+            corner_table(k, d)[gid_] for k in range(3) for d in (0, 1)
+        )  # 6 x (n_tiles, px_n)
+        attr_t = jnp.moveaxis(a, -1, 0)  # (C, V)
+        atabs = tuple(
+            jnp.concatenate(
+                [attr_t[:, faces[:, k]], jnp.zeros((C, 1), a.dtype)], axis=1
+            )[:, gid_]  # (C, n_tiles, px_n)
+            for k in range(3)
+        )
+
+        def pixel_fn(pl, ap):  # elementwise over (n_tiles, px_n) planes
+            x0, y0, x1, y1, x2, y2 = pl
+            ws = _bary_weights(x0, y0, x1, y1, x2, y2, pxg, pyg)
+            pix_t = ws[0][None] * ap[0] + ws[1][None] * ap[1] + ws[2][None] * ap[2]
+            return jnp.where(cov[None], pix_t, 0.0)
+
+        dplanes, databs = jax.vjp(pixel_fn, planes, atabs)[1](g)
+
+        # pack every per-pixel gradient plane into one scatter: channels
+        # 0..5 are corner coords (k0x k0y k1x k1y k2x k2y), 6.. are the
+        # 3 corner-attribute blocks of C rows each.
+        K = 6 + 3 * C
+        packed = jnp.concatenate(
+            [jnp.stack(dplanes).reshape(6, -1)]
+            + [d.reshape(C, -1) for d in databs],
+            axis=0,
+        )  # (K, n_tiles*px_n)
+        tabs = jnp.zeros((K, F + 1), dtype).at[:, gid_.reshape(-1)].add(packed)
+
+        dv = jnp.zeros_like(v)
+        da = jnp.zeros_like(a)
+        for k in range(3):
+            dv = dv.at[faces[:, k], 0].add(tabs[2 * k, :F])
+            dv = dv.at[faces[:, k], 1].add(tabs[2 * k + 1, :F])
+            da = da.at[faces[:, k]].add(tabs[6 + k * C:6 + (k + 1) * C, :F].T)
         return dv, da, None, None
 
     interp.defvjp(
