@@ -366,6 +366,7 @@ def rasterize_binned_pallas(
     tunnel-load variance) — the DEFAULT on TPU via ``rasterize_auto``."""
     from ..ops.pallas.rasterize import rasterize_tiles_visibility
 
+    V = vertices.shape[0]
     F = faces.shape[0]
     C = attributes.shape[-1]
     face_ids, tri_p, pxg, pyg, (ty, tx) = _bin_faces(
@@ -411,11 +412,12 @@ def rasterize_binned_pallas(
     # close over. Their cotangents are None (non-differentiable).
     dtype = vertices.dtype
 
-    def _pix_block(v, a, gid_, cov):  # fast fwd -> (C, n_tiles, px_n)
+    def _gather_blocks(v, a, gid_):
         tri_pp = jnp.concatenate([v[faces], jnp.zeros((1, 3, 3), dtype)], 0)
         attr_tri = jnp.concatenate([a[faces], jnp.zeros((1, 3, C), a.dtype)], 0)
-        corners = tri_pp[gid_]  # (n_tiles, px_n, 3, 3)
-        at = attr_tri[gid_]  # (n_tiles, px_n, 3, C)
+        return tri_pp[gid_], attr_tri[gid_]  # (nt, px, 3, 3), (nt, px, 3, C)
+
+    def _pix_from_blocks(corners, at, cov):  # -> (C, n_tiles, px_n)
         x0, y0 = corners[..., 0, 0], corners[..., 0, 1]
         x1, y1 = corners[..., 1, 0], corners[..., 1, 1]
         x2, y2 = corners[..., 2, 0], corners[..., 2, 1]
@@ -428,34 +430,38 @@ def rasterize_binned_pallas(
         pix = jnp.where(cov[..., None], pix, 0.0)
         return jnp.moveaxis(pix, -1, 0)
 
+    def _pix_block(v, a, gid_, cov):  # fast fwd -> (C, n_tiles, px_n)
+        corners, at = _gather_blocks(v, a, gid_)
+        return _pix_from_blocks(corners, at, cov)
+
     interp = jax.custom_vjp(_pix_block)
+
+    def _interp_fwd(v, a, gid_, cov):
+        corners, at = _gather_blocks(v, a, gid_)
+        # stash the gathered BLOCKS (primal values — safe; the OOM pitfall
+        # above is about block-shaped gather COTANGENTS, which this bwd
+        # never forms) so the backward needs no re-gather at all.
+        return _pix_from_blocks(corners, at, cov), (corners, at, gid_, cov)
 
     def _interp_bwd(res, g):
         # Hand-composed backward in three measured-cheap pieces (letting
         # jax.vjp run through the whole component form instead produced a
         # 206 s backward compile and 13.8 ms/frame of XLA overhead — 40x
         # the cost of its constituent ops):
-        #   1. re-gather the per-pixel planes from component tables (the
-        #      same cheap gathers the forward uses, ~3.6 ms/frame total),
+        #   1. slice per-pixel planes out of the forward's gathered-block
+        #      residuals (no gathers in the bwd),
         #   2. vjp through a PURE ELEMENTWISE pixel function of those
         #      planes (fuses into one VPU pass),
         #   3. ONE packed (6+3C)-channel scatter-add into (K, F+1) tables
         #      (measured 0.3 ms/frame) + six tiny (F,)->(V,) scatters.
-        v, a, gid_, cov = res
-
-        def corner_table(k, d):  # (F+1,): corner k's coord d, 0 sentinel
-            return jnp.concatenate([v[:, d][faces[:, k]], jnp.zeros((1,), dtype)])
+        corners, at, gid_, cov = res
 
         planes = tuple(
-            corner_table(k, d)[gid_] for k in range(3) for d in (0, 1)
+            corners[..., k, d] for k in range(3) for d in (0, 1)
         )  # 6 x (n_tiles, px_n)
-        attr_t = jnp.moveaxis(a, -1, 0)  # (C, V)
         atabs = tuple(
-            jnp.concatenate(
-                [attr_t[:, faces[:, k]], jnp.zeros((C, 1), a.dtype)], axis=1
-            )[:, gid_]  # (C, n_tiles, px_n)
-            for k in range(3)
-        )
+            jnp.moveaxis(at[..., k, :], -1, 0) for k in range(3)
+        )  # 3 x (C, n_tiles, px_n)
 
         def pixel_fn(pl, ap):  # elementwise over (n_tiles, px_n) planes
             x0, y0, x1, y1, x2, y2 = pl
@@ -476,18 +482,15 @@ def rasterize_binned_pallas(
         )  # (K, n_tiles*px_n)
         tabs = jnp.zeros((K, F + 1), dtype).at[:, gid_.reshape(-1)].add(packed)
 
-        dv = jnp.zeros_like(v)
-        da = jnp.zeros_like(a)
+        dv = jnp.zeros((V, 3), dtype)
+        da = jnp.zeros((V, C), at.dtype)
         for k in range(3):
             dv = dv.at[faces[:, k], 0].add(tabs[2 * k, :F])
             dv = dv.at[faces[:, k], 1].add(tabs[2 * k + 1, :F])
             da = da.at[faces[:, k]].add(tabs[6 + k * C:6 + (k + 1) * C, :F].T)
         return dv, da, None, None
 
-    interp.defvjp(
-        lambda v, a, gid_, cov: (_pix_block(v, a, gid_, cov), (v, a, gid_, cov)),
-        _interp_bwd,
-    )
+    interp.defvjp(_interp_fwd, _interp_bwd)
     pix_t = interp(vertices, attributes, gid, covered)
 
     img = (
