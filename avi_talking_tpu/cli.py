@@ -428,11 +428,13 @@ def cmd_train_emote(args) -> int:
         import numpy as _np
 
         nkey = jax.random.PRNGKey(7)
-        lip_net = LipReadingNet()
-        emo_mod = EmotionRecognitionModule(n_expression=8)
+        tower_dt = _jnp.bfloat16 if args.bf16 else _jnp.float32
+        lip_net = LipReadingNet(dtype=tower_dt)
+        emo_mod = EmotionRecognitionModule(n_expression=8, dtype=tower_dt)
         vemo = VideoEmotionClassifier(
             n_classes=8, feature_dim=32 if args.tiny else 128,
-            num_layers=1, nhead=4 if args.tiny else 8, input_dim=2048)
+            num_layers=1, nhead=4 if args.tiny else 8, input_dim=2048,
+            dtype=tower_dt)
         neural = NeuralLosses(
             renderer=FixedViewRenderer(_np.asarray(flame_assets.faces),
                                        image_size=R),
@@ -449,7 +451,9 @@ def cmd_train_emote(args) -> int:
         print("train-emote --neural: perception towers are RANDOM-init "
               "(import real lipread/EmoNet checkpoints for product runs)",
               file=sys.stderr)
-    head = EmoteTalkingHead(cfg, flame_assets=flame_assets)
+    head = EmoteTalkingHead(
+        cfg, flame_assets=flame_assets,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     B, T = args.batch_size, args.frames - args.frames % cfg.flint.latent_frame_size
 
     if args.root:
@@ -1544,6 +1548,10 @@ def main(argv=None) -> int:
                     help="enable the perceptual stage losses (render + "
                          "lipread/EmoNet/video-emotion towers in-graph); "
                          "gt meshes are decoded in-loss from the coeffs")
+    te.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute for the head and the frozen "
+                         "perception towers (fp32 params; the measured "
+                         "TPU training posture — see CLAUDE.md)")
     te.set_defaults(fn=cmd_train_emote)
 
     t = sub.add_parser("train-prior", help="diffusion prior training loop")

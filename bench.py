@@ -201,10 +201,13 @@ def main():
     R = 224  # the reference trains its render losses at 224^2
     renderer = FixedViewRenderer(np.asarray(assets.faces), image_size=R)
     nkey = jax.random.PRNGKey(7)
-    lip_net = LipReadingNet()
-    emo_mod = EmotionRecognitionModule(n_expression=8)
+    # frozen perceptual towers run in bf16 (fp32 params, bf16 compute —
+    # measured tower speedup in scripts/profile_neural_breakdown.py)
+    lip_net = LipReadingNet(dtype=dtype)
+    emo_mod = EmotionRecognitionModule(n_expression=8, dtype=dtype)
     vemo_cls = VideoEmotionClassifier(n_classes=8, feature_dim=128,
-                                      num_layers=1, nhead=8, input_dim=2048)
+                                      num_layers=1, nhead=8, input_dim=2048,
+                                      dtype=dtype)
     neural = NeuralLosses(
         renderer=renderer,
         lipread=LipReadingLoss(

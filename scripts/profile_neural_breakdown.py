@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--bt", default="2,32")
     ap.add_argument("--variants", default="geo,lip,emo,vemo,all,all_noex")
+    ap.add_argument("--towers-bf16", action="store_true", default=True)
+    ap.add_argument("--towers-fp32", dest="towers_bf16", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -62,12 +64,13 @@ def main():
                               num_faces=9976)
     renderer = FixedViewRenderer(np.asarray(assets.faces), image_size=R)
     nkey = jax.random.PRNGKey(7)
-    lip_net = LipReadingNet()
+    tdt = jnp.bfloat16 if args.towers_bf16 else jnp.float32
+    lip_net = LipReadingNet(dtype=tdt)
     lip = LipReadingLoss(lip_net, lip_net.init(nkey, jnp.zeros((1, 2, 88, 88, 1))))
-    emo_mod = EmotionRecognitionModule(n_expression=8)
+    emo_mod = EmotionRecognitionModule(n_expression=8, dtype=tdt)
     emo_vars = emo_mod.init(nkey, jnp.zeros((1, R, R, 3)))
     vemo_cls = VideoEmotionClassifier(n_classes=8, feature_dim=128, num_layers=1,
-                                      nhead=8, input_dim=2048)
+                                      nhead=8, input_dim=2048, dtype=tdt)
     vemo = VideoEmotionLoss(vemo_cls, vemo_cls.init(nkey, jnp.zeros((1, 4, 2048))))
 
     head = EmoteTalkingHead(cfg, flame_assets=assets, dtype=jnp.bfloat16)
