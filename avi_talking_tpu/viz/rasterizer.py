@@ -412,55 +412,60 @@ def rasterize_binned_pallas(
     # close over. Their cotangents are None (non-differentiable).
     dtype = vertices.dtype
 
-    def _gather_blocks(v, a, gid_):
-        tri_pp = jnp.concatenate([v[faces], jnp.zeros((1, 3, 3), dtype)], 0)
-        attr_tri = jnp.concatenate([a[faces], jnp.zeros((1, 3, C), a.dtype)], 0)
-        return tri_pp[gid_], attr_tri[gid_]  # (nt, px, 3, 3), (nt, px, 3, C)
+    K = 6 + 3 * C  # packed interp channels: 3 corners x (x, y) + 3 x C attrs
+    pdt = jnp.result_type(dtype, attributes.dtype)
 
-    def _pix_from_blocks(corners, at, cov):  # -> (C, n_tiles, px_n)
-        x0, y0 = corners[..., 0, 0], corners[..., 0, 1]
-        x1, y1 = corners[..., 1, 0], corners[..., 1, 1]
-        x2, y2 = corners[..., 2, 0], corners[..., 2, 1]
-        w0, w1, w2 = _bary_weights(x0, y0, x1, y1, x2, y2, pxg, pyg)
+    def _gather_packed(v, a, gid_):
+        # ONE channel-LEADING (K, F+1) table — corner coords then the three
+        # corner-attribute rows — gathered once by gid: the (K, nt, px_n)
+        # result tiles perfectly, where block-shaped gathers like
+        # tri_pp[gid] -> (nt, px, 3, 3) tile-pad their (3, 3) minor dims
+        # ~56x (see the layout note above — it bites the forward too).
+        tab = jnp.concatenate(
+            [v[faces.reshape(-1), :2].reshape(F, 6).astype(pdt),
+             a[faces.reshape(-1)].reshape(F, 3 * C).astype(pdt)], axis=1
+        )  # (F, K): [x0 y0 x1 y1 x2 y2 | a0(C) a1(C) a2(C)]
+        tab = jnp.concatenate([tab, jnp.zeros((1, K), pdt)], axis=0).T
+        return tab[:, gid_]  # (K, n_tiles, px_n)
+
+    def _pix_from_packed(g_, cov):  # -> (C, n_tiles, px_n)
+        w0, w1, w2 = _bary_weights(g_[0], g_[1], g_[2], g_[3], g_[4], g_[5],
+                                   pxg, pyg)
         pix = (
-            w0[..., None] * at[..., 0, :]
-            + w1[..., None] * at[..., 1, :]
-            + w2[..., None] * at[..., 2, :]
+            w0[None] * g_[6:6 + C]
+            + w1[None] * g_[6 + C:6 + 2 * C]
+            + w2[None] * g_[6 + 2 * C:]
         )
-        pix = jnp.where(cov[..., None], pix, 0.0)
-        return jnp.moveaxis(pix, -1, 0)
+        return jnp.where(cov[None], pix, 0.0)
 
     def _pix_block(v, a, gid_, cov):  # fast fwd -> (C, n_tiles, px_n)
-        corners, at = _gather_blocks(v, a, gid_)
-        return _pix_from_blocks(corners, at, cov)
+        return _pix_from_packed(_gather_packed(v, a, gid_), cov)
 
     interp = jax.custom_vjp(_pix_block)
 
     def _interp_fwd(v, a, gid_, cov):
-        corners, at = _gather_blocks(v, a, gid_)
-        # stash the gathered BLOCKS (primal values — safe; the OOM pitfall
+        packed = _gather_packed(v, a, gid_)
+        # stash the gathered PLANES (primal values — safe; the OOM pitfall
         # above is about block-shaped gather COTANGENTS, which this bwd
         # never forms) so the backward needs no re-gather at all.
-        return _pix_from_blocks(corners, at, cov), (corners, at, gid_, cov)
+        return _pix_from_packed(packed, cov), (packed, gid_, cov)
 
     def _interp_bwd(res, g):
         # Hand-composed backward in three measured-cheap pieces (letting
         # jax.vjp run through the whole component form instead produced a
         # 206 s backward compile and 13.8 ms/frame of XLA overhead — 40x
         # the cost of its constituent ops):
-        #   1. slice per-pixel planes out of the forward's gathered-block
-        #      residuals (no gathers in the bwd),
+        #   1. slice per-pixel planes out of the forward's packed-gather
+        #      residual (no gathers in the bwd),
         #   2. vjp through a PURE ELEMENTWISE pixel function of those
         #      planes (fuses into one VPU pass),
         #   3. ONE packed (6+3C)-channel scatter-add into (K, F+1) tables
         #      (measured 0.3 ms/frame) + six tiny (F,)->(V,) scatters.
-        corners, at, gid_, cov = res
+        packed_res, gid_, cov = res
 
-        planes = tuple(
-            corners[..., k, d] for k in range(3) for d in (0, 1)
-        )  # 6 x (n_tiles, px_n)
+        planes = tuple(packed_res[i] for i in range(6))  # 6 x (nt, px_n)
         atabs = tuple(
-            jnp.moveaxis(at[..., k, :], -1, 0) for k in range(3)
+            packed_res[6 + k * C:6 + (k + 1) * C] for k in range(3)
         )  # 3 x (C, n_tiles, px_n)
 
         def pixel_fn(pl, ap):  # elementwise over (n_tiles, px_n) planes
@@ -474,21 +479,20 @@ def rasterize_binned_pallas(
         # pack every per-pixel gradient plane into one scatter: channels
         # 0..5 are corner coords (k0x k0y k1x k1y k2x k2y), 6.. are the
         # 3 corner-attribute blocks of C rows each.
-        K = 6 + 3 * C
         packed = jnp.concatenate(
             [jnp.stack(dplanes).reshape(6, -1)]
             + [d.reshape(C, -1) for d in databs],
             axis=0,
         )  # (K, n_tiles*px_n)
-        tabs = jnp.zeros((K, F + 1), dtype).at[:, gid_.reshape(-1)].add(packed)
+        tabs = jnp.zeros((K, F + 1), pdt).at[:, gid_.reshape(-1)].add(packed)
 
-        dv = jnp.zeros((V, 3), dtype)
-        da = jnp.zeros((V, C), at.dtype)
+        dv = jnp.zeros((V, 3), pdt)
+        da = jnp.zeros((V, C), pdt)
         for k in range(3):
             dv = dv.at[faces[:, k], 0].add(tabs[2 * k, :F])
             dv = dv.at[faces[:, k], 1].add(tabs[2 * k + 1, :F])
             da = da.at[faces[:, k]].add(tabs[6 + k * C:6 + (k + 1) * C, :F].T)
-        return dv, da, None, None
+        return dv.astype(dtype), da.astype(attributes.dtype), None, None
 
     interp.defvjp(_interp_fwd, _interp_bwd)
     pix_t = interp(vertices, attributes, gid, covered)
