@@ -127,6 +127,36 @@ def test_pallas_rasterizer_gradients_match_xla():
     assert float(jnp.abs(gp[0]).sum()) > 0  # vertices actually get grads
 
 
+def test_pallas_rasterizer_bwd_graph_shape():
+    """Pin the hand-composed interp backward's graph structure: ONE packed
+    (6+3C)-channel scatter + six tiny face->vertex scatters, and no
+    block-shaped gather cotangents. Letting autodiff rebuild this backward
+    costs 13.8 ms/frame + a 206 s compile on v5e (measured round 3 — see
+    viz/rasterizer.py); this guard catches such a regression on CPU by
+    bounding the scatter count in the lowered grad HLO."""
+    import jax
+    import jax.numpy as jnp
+
+    from avi_talking_tpu.viz.rasterizer import rasterize_binned_pallas
+
+    rng = np.random.default_rng(7)
+    V, F, H = 80, 60, 32
+    verts = jnp.asarray(rng.uniform(-0.9, 0.9, (V, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, V, (F, 3)), jnp.int32)
+    attrs = jnp.asarray(rng.standard_normal((V, 3)).astype(np.float32))
+
+    def loss(v, a):
+        img, _ = rasterize_binned_pallas(v, faces, a, H, H, tile=16, cap=32,
+                                         chunk=16, interpret=True)
+        return (img ** 2).sum()
+
+    txt = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(verts, attrs).as_text()
+    n_scatter = txt.count('"stablehlo.scatter"(')
+    # exactly 1 packed (K, F+1) + 6 dv column + 3 da scatters today; small
+    # headroom but far below what an autodiff component backward emits.
+    assert 0 < n_scatter <= 14, f"interp bwd scatter count drifted: {n_scatter}"
+
+
 def test_rasterize_auto_backends():
     """Dispatcher: dense for small meshes, binned/pallas selectable."""
     import jax.numpy as jnp
