@@ -141,9 +141,15 @@ class EmoNetLoss:
 
     def __call__(self, variables, pred_images: jax.Array, gt_images: jax.Array):
         p = self.module.apply(variables, pred_images)
-        g = jax.tree.map(
-            jax.lax.stop_gradient, self.module.apply(variables, gt_images)
-        )
+        g = self.module.apply(variables, gt_images)
+        return self.from_outputs(p, g)
+
+    def from_outputs(self, p, g):
+        """Loss from precomputed tower outputs (batch dims arbitrary — all
+        terms mean over every dim), so callers that also need the features
+        elsewhere (video-emotion loss, condition-exchange permutations) run
+        the tower once per distinct video set. ``g`` is stop-gradded here."""
+        g = jax.tree.map(jax.lax.stop_gradient, g)
         loss = self.feat_weight * jnp.mean((p["emo_feat_2"] - g["emo_feat_2"]) ** 2)
         metrics = {"emo_feat": loss}
         if self.valence_weight and "valence" in p:

@@ -135,8 +135,20 @@ class LipReadingLoss:
         gt_crops: jax.Array,
         mask: Optional[jax.Array] = None,  # (B, T) 1=valid
     ) -> jax.Array:
-        fp = self.features(pred_crops)
-        fg = jax.lax.stop_gradient(self.features(gt_crops))
+        return self.from_features(
+            self.features(pred_crops), self.features(gt_crops), mask
+        )
+
+    def from_features(
+        self,
+        fp: jax.Array,
+        fg: jax.Array,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Loss from precomputed per-frame features, so callers sharing a
+        gt side across terms (condition exchange) run the tower once per
+        distinct crop set. ``fg`` is stop-gradded here."""
+        fg = jax.lax.stop_gradient(fg)
         if self.metric == "l1":
             per = jnp.abs(fp - fg).mean(-1)
         elif self.metric == "l2":

@@ -74,10 +74,19 @@ class NeuralLosses:
 
     def frame_emo_features(self, video: jax.Array) -> jax.Array:
         """(B, T, H, W, 3) -> (B, T, emo_feat_dim) via the EmoNet tower."""
+        return self.emo_outputs(video)["emo_feat_2"]
+
+    def emo_outputs(self, video: jax.Array):
+        """(B, T, H, W, 3) -> EmoNet tower outputs, each (B, T, ...).
+
+        One tower pass per distinct video set: the emotion loss, its
+        condition-exchange twin, and the video-emotion features all read
+        from these outputs (permuting FEATURES instead of re-encoding
+        permuted videos)."""
         B, T = video.shape[:2]
         flat = video.reshape(B * T, *video.shape[2:])
-        feats = self.emonet.module.apply(self.emonet_variables, flat)["emo_feat_2"]
-        return feats.reshape(B, T, -1)
+        out = self.emonet.module.apply(self.emonet_variables, flat)
+        return jax.tree.map(lambda x: x.reshape(B, T, *x.shape[1:]), out)
 
 
 @dataclasses.dataclass
@@ -153,36 +162,52 @@ class TalkingHeadTrainer:
             mask = mask[:B_orig]
 
         if nl.lipread is not None and nl.lipread_weight > 0:
-            pred_m = nl.mouth_crops(pred_video[:B_orig])
-            gt_m = nl.mouth_crops(gt_video)
-            l_lip = nl.lipread(pred_m, gt_m, mask=mask)
+            # tower runs once over ALL predicted rows and once over gt; the
+            # exchange twin reuses the gt features
+            fpred = nl.lipread.features(nl.mouth_crops(pred_video))
+            fgt = jax.lax.stop_gradient(
+                nl.lipread.features(nl.mouth_crops(gt_video))
+            )
+            l_lip = nl.lipread.from_features(fpred[:B_orig], fgt, mask=mask)
             loss += nl.lipread_weight * l_lip
             metrics["loss_lipread"] = l_lip
             if perm is not None:
-                l_lip_d = nl.lipread(
-                    nl.mouth_crops(pred_video[B_orig:]), gt_m, mask=mask
+                l_lip_d = nl.lipread.from_features(
+                    fpred[B_orig:], fgt, mask=mask
                 )
                 loss += nl.lipread_weight * l_lip_d
                 metrics["loss_lipread_disentangled"] = l_lip_d
 
-        if nl.emonet is not None and nl.emotion_weight > 0:
-            flat = lambda v: v.reshape(-1, *v.shape[2:])  # noqa: E731
-            l_emo, _ = nl.emonet(
-                nl.emonet_variables, flat(pred_video[:B_orig]), flat(gt_video)
+        need_emo = nl.emonet is not None and nl.emotion_weight > 0
+        need_vemo = nl.video_emotion is not None and nl.video_emotion_weight > 0
+        if need_emo or need_vemo:
+            # EmoNet tower runs ONCE over all predicted rows (original +
+            # exchanged in one batched pass) and once over gt; every term
+            # below reads from these outputs, permuting features — not
+            # videos — for the condition-exchange twins.
+            pred_out = nl.emo_outputs(pred_video)  # each (B or 2B, T, ...)
+            gt_out = jax.tree.map(
+                jax.lax.stop_gradient, nl.emo_outputs(gt_video)
+            )
+            take = lambda tree, sl: jax.tree.map(  # noqa: E731
+                lambda x: x[sl], tree
+            )
+
+        if need_emo:
+            l_emo, _ = nl.emonet.from_outputs(
+                take(pred_out, slice(None, B_orig)), gt_out
             )
             loss += nl.emotion_weight * l_emo
             metrics["loss_emotion"] = l_emo
             if perm is not None:
-                l_emo_d, _ = nl.emonet(
-                    nl.emonet_variables,
-                    flat(pred_video[B_orig:]),
-                    flat(gt_video[perm]),
+                l_emo_d, _ = nl.emonet.from_outputs(
+                    take(pred_out, slice(B_orig, None)), take(gt_out, perm)
                 )
                 loss += nl.emotion_weight * l_emo_d
                 metrics["loss_emotion_disentangled"] = l_emo_d
 
-        if nl.video_emotion is not None and nl.video_emotion_weight > 0:
-            pred_feats = nl.frame_emo_features(pred_video[:B_orig])
+        if need_vemo:
+            pred_feats = pred_out["emo_feat_2"][:B_orig]
             gt_logits = batch.get("gt_emotion_video_logits")
             gt_label = batch.get("expression")
             if gt_label is not None and gt_label.ndim == 2:  # one-hot
@@ -195,7 +220,7 @@ class TalkingHeadTrainer:
             loss += nl.video_emotion_weight * l_vemo
             metrics["loss_video_emotion"] = l_vemo
             if perm is not None:
-                feats_d = nl.frame_emo_features(pred_video[B_orig:])
+                feats_d = pred_out["emo_feat_2"][B_orig:]
                 l_vemo_d = nl.video_emotion(
                     feats_d,
                     gt_label=None if gt_logits is not None else gt_label[:B_orig][perm],
