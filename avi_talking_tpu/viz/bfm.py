@@ -148,7 +148,8 @@ def bfm_vertex_normals(assets: BfmAssets, vs: jax.Array) -> jax.Array:
     face_norm = jnp.concatenate(
         [face_norm, jnp.zeros_like(face_norm[:, :1])], axis=1)
     vn = face_norm[:, assets.point_buf].sum(axis=2)  # (B, V, 3)
-    return vn / jnp.maximum(jnp.linalg.norm(vn, axis=2, keepdims=True), 1e-12)
+    from .rasterizer import safe_unit
+    return safe_unit(vn, 1e-12)  # NaN-free grad at zero normals
 
 
 # SH constants (BaseModel.py:190-196)

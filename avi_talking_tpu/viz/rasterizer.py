@@ -142,7 +142,8 @@ def _on_tpu() -> bool:
 
 
 def rasterize_auto(vertices, faces, attributes, height, width,
-                   tile=32, cap=1024, chunk=2048, backend=None):
+                   tile=32, cap=1024, chunk=2048, backend=None,
+                   per_corner=False):
     """Batch rasterization through the fastest available path.
 
     Dispatch (measured v5e, FLAME 9976 faces @256^2): Pallas binned
@@ -150,19 +151,39 @@ def rasterize_auto(vertices, faces, attributes, height, width,
     to bin (or odd sizes) fall back to the dense path; non-TPU backends use
     the XLA binned path (Mosaic kernels are TPU-only).
     ``backend``: None (auto) | "pallas" | "binned" | "dense".
+    ``per_corner``: attributes are (F, 3, C) face-corner values (UV seams)
+    instead of (V, C) — supported by every backend; a leading batch dim
+    ((B, F, 3, C) / (B, V, C)) pairs attributes with the vertex batch.
     """
     can_bin = faces.shape[0] >= 4096 and height % tile == 0 and width % tile == 0
     if backend is None:
         backend = ("pallas" if _on_tpu() else "binned") if can_bin else "dense"
+    if attributes.ndim == (4 if per_corner else 3):  # batched attributes
+        in_axes = (0, 0)
+    else:
+        in_axes = (0, None)
     if backend == "pallas":
-        return jax.vmap(
-            lambda v, a: rasterize_binned_pallas(
-                v, faces, a, height, width, tile=tile, cap=cap)
-        )(vertices, attributes)
-    if backend == "binned":
-        return rasterize_binned_batch(
-            vertices, faces, attributes, height, width, tile=tile, cap=cap)
-    return rasterize_batch(vertices, faces, attributes, height, width, chunk)
+        fn = lambda v, a: rasterize_binned_pallas(  # noqa: E731
+            v, faces, a, height, width, tile=tile, cap=cap,
+            per_corner=per_corner)
+    elif backend == "binned":
+        fn = lambda v, a: rasterize_binned(  # noqa: E731
+            v, faces, a, height, width, tile, cap, per_corner)
+    else:
+        fn = lambda v, a: rasterize(  # noqa: E731
+            v, faces, a, height, width, chunk, per_corner)
+    return jax.vmap(fn, in_axes=in_axes)(vertices, attributes)
+
+
+def safe_unit(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Normalize along the last axis with a NaN-free gradient at x == 0.
+
+    ``x / maximum(norm(x), eps)`` differentiates sqrt at 0 (inf) BEFORE the
+    clamp, so a zero vector (unused/degenerate vertex, uncovered pixel)
+    poisons the whole gradient with NaN. Clamping the SQUARED norm first
+    keeps rsqrt away from 0 in both value and derivative."""
+    n2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(n2, eps * eps))
 
 
 def compute_vertex_normals(vertices: jax.Array, faces: jax.Array) -> jax.Array:
@@ -176,8 +197,7 @@ def compute_vertex_normals(vertices: jax.Array, faces: jax.Array) -> jax.Array:
     normals = jnp.zeros((B, V, 3), vertices.dtype)
     for k in range(3):
         normals = normals.at[:, faces[:, k]].add(fn)
-    norm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
-    normals = normals / jnp.maximum(norm, 1e-12)
+    normals = safe_unit(normals, 1e-12)
     if squeeze:
         return normals[0]
     return normals
@@ -251,15 +271,16 @@ def _bin_faces(vertices, faces, height, width, tile, cap):
     return face_ids, tri_p, pxg, pyg, (ty, tx)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def rasterize_binned(
     vertices: jax.Array,  # (V, 3) NDC, z = depth
     faces: jax.Array,  # (F, 3)
-    attributes: jax.Array,  # (V, C)
+    attributes: jax.Array,  # (V, C) or (F, 3, C) with per_corner
     height: int,
     width: int,
     tile: int = 32,
     cap: int = 1024,
+    per_corner: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-stage tiled rasterizer (pytorch3d-style coarse binning).
 
@@ -276,8 +297,9 @@ def rasterize_binned(
     face_ids, tri_p, pxg, pyg, (ty, tx) = _bin_faces(
         vertices, faces, height, width, tile, cap
     )
+    corner_attrs = attributes if per_corner else attributes[faces]
     attr_tri = jnp.concatenate(
-        [attributes[faces], jnp.zeros((1, 3, C), attributes.dtype)], axis=0
+        [corner_attrs, jnp.zeros((1, 3, C), attributes.dtype)], axis=0
     )
 
     def one_tile(args):
@@ -347,13 +369,14 @@ def _bary_weights(x0, y0, x1, y1, x2, y2, pxg, pyg):
 def rasterize_binned_pallas(
     vertices: jax.Array,
     faces: jax.Array,
-    attributes: jax.Array,
+    attributes: jax.Array,  # (V, C) or (F, 3, C) with per_corner
     height: int,
     width: int,
     tile: int = 32,
     cap: int = 1024,
     chunk: int = 256,
     interpret: bool = False,
+    per_corner: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Binned rasterizer with stage-2 visibility as a Pallas kernel
     (ops/pallas/rasterize.py); same semantics as ``rasterize_binned`` AND
@@ -421,9 +444,10 @@ def rasterize_binned_pallas(
         # result tiles perfectly, where block-shaped gathers like
         # tri_pp[gid] -> (nt, px, 3, 3) tile-pad their (3, 3) minor dims
         # ~56x (see the layout note above — it bites the forward too).
+        corner_a = a if per_corner else a[faces.reshape(-1)].reshape(F, 3, C)
         tab = jnp.concatenate(
             [v[faces.reshape(-1), :2].reshape(F, 6).astype(pdt),
-             a[faces.reshape(-1)].reshape(F, 3 * C).astype(pdt)], axis=1
+             corner_a.reshape(F, 3 * C).astype(pdt)], axis=1
         )  # (F, K): [x0 y0 x1 y1 x2 y2 | a0(C) a1(C) a2(C)]
         tab = jnp.concatenate([tab, jnp.zeros((1, K), pdt)], axis=0).T
         return tab[:, gid_]  # (K, n_tiles, px_n)
@@ -487,11 +511,16 @@ def rasterize_binned_pallas(
         tabs = jnp.zeros((K, F + 1), pdt).at[:, gid_.reshape(-1)].add(packed)
 
         dv = jnp.zeros((V, 3), pdt)
-        da = jnp.zeros((V, C), pdt)
         for k in range(3):
             dv = dv.at[faces[:, k], 0].add(tabs[2 * k, :F])
             dv = dv.at[faces[:, k], 1].add(tabs[2 * k + 1, :F])
-            da = da.at[faces[:, k]].add(tabs[6 + k * C:6 + (k + 1) * C, :F].T)
+        if per_corner:  # face rows are unique: the tables ARE the gradient
+            da = tabs[6:, :F].T.reshape(F, 3, C)
+        else:
+            da = jnp.zeros((V, C), pdt)
+            for k in range(3):
+                da = da.at[faces[:, k]].add(
+                    tabs[6 + k * C:6 + (k + 1) * C, :F].T)
         return dv.astype(dtype), da.astype(attributes.dtype), None, None
 
     interp.defvjp(_interp_fwd, _interp_bwd)

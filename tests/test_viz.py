@@ -165,3 +165,29 @@ def test_binned_rasterizer_matches_dense():
     np.testing.assert_array_equal(np.asarray(m_b), np.asarray(m_d))
     np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_d),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_render_grads_finite_on_degenerate_mesh():
+    """Gradients through the shaded/textured renders stay finite when some
+    vertices belong to no face (zero accumulated normal) and most pixels are
+    uncovered (zero normal image) — the x/max(norm(x), eps) pattern used to
+    NaN here because sqrt is differentiated at 0 BEFORE the clamp
+    (viz.rasterizer.safe_unit clamps the squared norm instead)."""
+    import jax
+
+    from avi_talking_tpu.viz import render_textured
+    from avi_talking_tpu.viz.shading import render_shaded
+
+    rng = np.random.default_rng(5)
+    V, F = 120, 100  # random faces -> many unused vertices + degenerates
+    verts = jnp.asarray(rng.uniform(-0.8, 0.8, (2, V, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, V, (F, 3)), jnp.int32)
+    uvs = jnp.asarray(rng.uniform(0, 1, (V, 2)).astype(np.float32))
+    tex = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+
+    g = jax.grad(lambda v: render_shaded(v, faces, 32, 32).sum())(verts)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).sum()) > 0
+    g = jax.grad(
+        lambda v: render_textured(v, faces, uvs, faces, tex, 32, 32).sum()
+    )(verts)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).sum()) > 0
