@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from ..infra.torch_compat import to_np
 from ..models.resnet import ResNet50, resnet50_params_from_torch
-from .rasterizer import rasterize_batch
+from .rasterizer import rasterize_auto
 
 BFM_COEFF_DIM = 257
 D3DFR_DEFAULT_FOCAL = 1015.0 * 256.0 / 224.0
@@ -250,7 +250,11 @@ def render_bfm(
     depth = 10.0 - vs_t[..., 2]  # camera-frame z
     ndc = jnp.concatenate([ndc_xy, depth[..., None]], axis=-1)
     color = out["gray_color"] if gray else out["color"]
-    img, mask = rasterize_batch(ndc, assets.tri, color, img_size, img_size)
+    # rasterize_auto bins the ~70k-face BFM mesh (Pallas on TPU) instead of
+    # the dense O(F) scan; BFM is denser than FLAME so give each tile a
+    # deeper face budget (~91k bbox face-tile pairs over 49 tiles at 224^2)
+    img, mask = rasterize_auto(ndc, assets.tri, color, img_size, img_size,
+                               cap=4096)
     return jnp.clip(img, 0.0, 255.0), mask
 
 
