@@ -83,12 +83,27 @@ def main():
     def normals(v):
         return rz.compute_vertex_normals(v, faces).sum()
 
+    # textured render (per-corner UV + normals through one rasterization)
+    uv_rng = np.random.default_rng(1)
+    uvs = jnp.asarray(uv_rng.uniform(0, 1, (5023, 2)).astype(np.float32))
+    tex = jnp.asarray(uv_rng.uniform(0, 1, (256, 256, 3)).astype(np.float32))
+
+    def textured(v):
+        from avi_talking_tpu.viz.shading import render_textured
+
+        return render_textured(v, faces, uvs, faces, tex, R, R).sum()
+
+    def texturedbwd(v):
+        return jax.grad(textured)(v).sum()
+
     STAGES = {
         "bin": (bin_only, verts),
         "vis": (vis_only, verts),
         "fwd": (fwd, verts),
         "fwdbwd": (fwdbwd, verts),
         "normals": (normals, verts),
+        "textured": (textured, verts),
+        "texturedbwd": (texturedbwd, verts),
     }
     for name in args.stages.split(","):
         fn, x = STAGES[name]
