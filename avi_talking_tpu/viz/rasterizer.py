@@ -224,6 +224,26 @@ def render_normal_maps(
 
 
 
+def _face_tile_overlap(vertices, faces, height, width, tile):
+    """(n_tiles, F) bool: face bbox overlaps tile rect (NDC: x [-1,1]
+    left->right; y [1,-1] top->bottom rows)."""
+    F = faces.shape[0]
+    dtype = vertices.dtype
+    ty, tx = height // tile, width // tile
+    tri = vertices[faces]  # (F, 3, 3)
+    fx_min = tri[..., 0].min(axis=1)
+    fx_max = tri[..., 0].max(axis=1)
+    fy_min = tri[..., 1].min(axis=1)
+    fy_max = tri[..., 1].max(axis=1)
+    tile_w = 2.0 / tx
+    tile_h = 2.0 / ty
+    tx0 = -1.0 + jnp.arange(tx, dtype=dtype) * tile_w
+    ty1 = 1.0 - jnp.arange(ty, dtype=dtype) * tile_h
+    ox = (fx_min[None, :] <= (tx0 + tile_w)[:, None]) & (fx_max[None, :] >= tx0[:, None])
+    oy = (fy_max[None, :] >= (ty1 - tile_h)[:, None]) & (fy_min[None, :] <= ty1[:, None])
+    return (oy[:, None, :] & ox[None, :, :]).reshape(ty * tx, F)
+
+
 def _bin_faces(vertices, faces, height, width, tile, cap):
     """Stage 1 of the tiled rasterizers: bbox face->tile binning.
 
@@ -237,19 +257,7 @@ def _bin_faces(vertices, faces, height, width, tile, cap):
     n_tiles = ty * tx
 
     tri = vertices[faces]  # (F, 3, 3)
-    fx_min = tri[..., 0].min(axis=1)
-    fx_max = tri[..., 0].max(axis=1)
-    fy_min = tri[..., 1].min(axis=1)
-    fy_max = tri[..., 1].max(axis=1)
-
-    # tile rects in NDC (x: [-1,1] left->right; y: [1,-1] top->bottom rows)
-    tile_w = 2.0 / tx
-    tile_h = 2.0 / ty
-    tx0 = -1.0 + jnp.arange(tx, dtype=dtype) * tile_w
-    ty1 = 1.0 - jnp.arange(ty, dtype=dtype) * tile_h
-    ox = (fx_min[None, :] <= (tx0 + tile_w)[:, None]) & (fx_max[None, :] >= tx0[:, None])
-    oy = (fy_max[None, :] >= (ty1 - tile_h)[:, None]) & (fy_min[None, :] <= ty1[:, None])
-    overlap = (oy[:, None, :] & ox[None, :, :]).reshape(n_tiles, F)
+    overlap = _face_tile_overlap(vertices, faces, height, width, tile)
 
     # compaction via top_k on an index-keyed score: ~5x faster than the
     # vmapped jnp.where(size=cap) lowering on v5e (1.3 ms vs 6.5 ms at
@@ -269,6 +277,33 @@ def _bin_faces(vertices, faces, height, width, tile, cap):
     pxg = pxg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
     pyg = pyg.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(n_tiles, -1)
     return face_ids, tri_p, pxg, pyg, (ty, tx)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def bin_overflow(
+    vertices: jax.Array,  # (V, 3) or (B, V, 3)
+    faces: jax.Array,
+    height: int,
+    width: int,
+    tile: int = 32,
+    cap: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """Diagnostic for the binned rasterizers' silent face-drop hazard.
+
+    Returns (max bbox-overlap face count over tiles, fraction of tiles
+    whose count exceeds ``cap``). A nonzero fraction means tiles are
+    dropping their farthest faces — raise ``cap`` (see render_bfm's 4096
+    for the ~70k-face BFM mesh vs FLAME's 1024 default)."""
+    if vertices.ndim == 3:
+        counts = jax.vmap(
+            lambda v: _face_tile_overlap(v, faces, height, width, tile)
+            .sum(axis=1)
+        )(vertices)
+    else:
+        counts = _face_tile_overlap(vertices, faces, height, width, tile).sum(
+            axis=1
+        )
+    return counts.max(), (counts > cap).mean()
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))

@@ -191,3 +191,30 @@ def test_render_grads_finite_on_degenerate_mesh():
         lambda v: render_textured(v, faces, uvs, faces, tex, 32, 32).sum()
     )(verts)
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).sum()) > 0
+
+
+def test_bin_overflow_diagnostic():
+    """bin_overflow reports the silent face-drop hazard of the binned
+    rasterizers: with cap >= the reported max count, binned == dense."""
+    from avi_talking_tpu.viz.rasterizer import (
+        bin_overflow,
+        rasterize,
+        rasterize_binned,
+    )
+
+    rng = np.random.default_rng(2)
+    V, F = 200, 3000
+    verts = jnp.asarray(rng.uniform(-0.9, 0.9, (V, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, V, (F, 3)), jnp.int32)
+    mx, frac = bin_overflow(verts, faces, 64, 64, tile=16, cap=512)
+    assert int(mx) > 512 and float(frac) > 0  # big random faces overflow
+    img_b, m_b = rasterize_binned(verts, faces, verts, 64, 64, tile=16,
+                                  cap=int(mx))
+    img_d, m_d = rasterize(verts, faces, verts, 64, 64, chunk=512)
+    np.testing.assert_array_equal(np.asarray(m_b), np.asarray(m_d))
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_d),
+                               rtol=1e-4, atol=1e-5)
+    # batched form agrees
+    mx2, frac2 = bin_overflow(jnp.stack([verts, verts]), faces, 64, 64,
+                              tile=16, cap=int(mx))
+    assert int(mx2) == int(mx) and float(frac2) == 0.0
