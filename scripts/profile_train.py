@@ -142,11 +142,14 @@ def main():
         R = 224
         renderer = FixedViewRenderer(np.asarray(assets.faces), image_size=R)
         nkey = jax.random.PRNGKey(7)
-        lip_net = LipReadingNet()
-        emo_mod = EmotionRecognitionModule(n_expression=8)
+        # frozen towers in bf16, matching bench.py's neural config
+        lip_net = LipReadingNet(dtype=jnp.bfloat16)
+        emo_mod = EmotionRecognitionModule(n_expression=8,
+                                           dtype=jnp.bfloat16)
         vemo_cls = VideoEmotionClassifier(n_classes=8, feature_dim=128,
                                           num_layers=1, nhead=8,
-                                          input_dim=2048)
+                                          input_dim=2048,
+                                          dtype=jnp.bfloat16)
         neural = NeuralLosses(
             renderer=renderer,
             lipread=LipReadingLoss(
