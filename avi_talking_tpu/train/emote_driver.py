@@ -76,6 +76,9 @@ def train_emote(
         snapshot_config(run_dir, {"stages": stages, "val_every": val_every})
         set_summary_writer(os.path.join(run_dir, "logs"))
     rng = jax.random.PRNGKey(seed)
+    # the step donates (params, opt_state); copy at entry so donation only
+    # ever consumes driver-owned buffers, never the caller's params
+    params = jax.tree.map(jnp.copy, params)
     best_val = float("inf")
     histories: Dict[str, List[Dict[str, float]]] = {}
     step_total = 0
@@ -90,7 +93,7 @@ def train_emote(
             neural=neural if stage.use_neural else None,
             disentangle=stage.disentangle,
         )
-        step_fn = trainer.jitted_train_step(mesh=mesh)
+        step_fn = trainer.jitted_train_step(mesh=mesh, donate=True)
         eval_fn = jax.jit(lambda p, b, r: trainer.loss_fn(p, b, r)[1])
         opt_state = tx.init(params)
         stopper = (EarlyStopping(patience=early_stop_patience)

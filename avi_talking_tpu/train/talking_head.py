@@ -296,11 +296,18 @@ class TalkingHeadTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    def jitted_train_step(self, mesh=None, batch_spec=None, param_spec=None):
-        """jit the step; with a mesh, constrain batch to dp sharding."""
+    def jitted_train_step(self, mesh=None, batch_spec=None, param_spec=None,
+                          donate=False):
+        """jit the step; with a mesh, constrain batch to dp sharding.
+
+        ``donate=True`` donates (params, opt_state) buffers (~5% step time
+        + halved param/opt HBM headroom, measured — see CLAUDE.md); callers
+        must not reuse the passed-in buffers afterwards (training loops
+        rebind them; A/B comparisons and dryruns must keep donate=False)."""
         step = self.train_step
+        kw = {"donate_argnums": (0, 1)} if donate else {}
         if mesh is None:
-            return jax.jit(step)
+            return jax.jit(step, **kw)
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -315,4 +322,4 @@ class TalkingHeadTrainer:
             )
             return step(params, opt_state, batch, rng)
 
-        return jax.jit(constrained)
+        return jax.jit(constrained, **kw)
