@@ -878,7 +878,7 @@ def cmd_train_faceformer(args) -> int:
                                 render_loss_fn=render_loss,
                                 render_weight=(0.015 if args.render_loss
                                                else 0.0))
-    step = trainer.jitted_train_step()
+    step = trainer.jitted_train_step(donate=True)
     opt = tx.init(params)
     import time as _t
 

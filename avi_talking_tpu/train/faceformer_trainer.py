@@ -125,5 +125,8 @@ class FaceFormerTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    def jitted_train_step(self):
-        return jax.jit(self.train_step)
+    def jitted_train_step(self, donate: bool = False):
+        """``donate=True`` donates (params, opt_state) — see
+        TalkingHeadTrainer.jitted_train_step for the caller contract."""
+        kw = {"donate_argnums": (0, 1)} if donate else {}
+        return jax.jit(self.train_step, **kw)
