@@ -295,24 +295,45 @@ def cmd_reconstruct(args) -> int:
     ndc = jnp.stack([proj[..., 0], -proj[..., 1], -proj[..., 2]], axis=-1)
     shaded = render_shaded(ndc, assets.faces, args.size, args.size)
 
-    detail_maps = None
-    if args.detail:
-        # detail displacement branch (Visualizer3DMM's EMOCA detail model):
+    def _uv_assets():
         # UVs from --uv-obj (head_template.obj) or planar template projection
-        from .models.deca_detail import DecaDetailModel, DetailGenerator
-
         if args.uv_obj:
             from .viz.meshio import read_obj
 
             mesh = read_obj(args.uv_obj)
-            uv_coords = jnp.asarray(mesh.uvs)
-            uv_faces = jnp.asarray(
+            return jnp.asarray(mesh.uvs), jnp.asarray(
                 mesh.face_uvs if mesh.face_uvs is not None else mesh.faces)
+        t = np.asarray(assets.v_template)
+        span = t.max(0) - t.min(0) + 1e-6
+        return jnp.asarray(((t - t.min(0)) / span)[:, :2]), assets.faces
+
+    textured = None
+    if args.textured:
+        # EMOCA's predicted_images analog: PCA albedo (FLAMETex) sampled
+        # through per-corner UVs + SH lighting (SRenderY.forward textured
+        # path, gdl/models/Renderer.py)
+        from .core.flame import FlameTex
+        from .viz.shading import render_textured
+
+        uv_coords, uv_faces = _uv_assets()
+        if args.tex_npz:
+            ftex = FlameTex.from_npz(args.tex_npz,
+                                     n_tex=codes["tex"].shape[1])
+            albedo = ftex(codes["tex"])  # (B, 512, 512, 3)
         else:
-            t = np.asarray(assets.v_template)
-            span = t.max(0) - t.min(0) + 1e-6
-            uv_coords = jnp.asarray(((t - t.min(0)) / span)[:, :2])
-            uv_faces = assets.faces
+            print("reconstruct --textured: no --tex-npz (the external FLAME "
+                  "texture download); rendering flat grey albedo",
+                  file=sys.stderr)
+            albedo = jnp.full((x.shape[0], 8, 8, 3), 0.6)
+        textured = render_textured(ndc, assets.faces, uv_coords, uv_faces,
+                                   albedo, args.size, args.size)
+
+    detail_maps = None
+    if args.detail:
+        # detail displacement branch (Visualizer3DMM's EMOCA detail model)
+        from .models.deca_detail import DecaDetailModel, DetailGenerator
+
+        uv_coords, uv_faces = _uv_assets()
         gen = DetailGenerator(
             latent_dim=3 + n_exp + n_detail,
             init_size=2 if args.tiny else 8)
@@ -366,6 +387,12 @@ def cmd_reconstruct(args) -> int:
             nm = (np.asarray(detail_maps[j]) * 0.5 + 0.5)
             write_png(os.path.join(args.out_dir, f"{fn}_detail_normals.png"),
                       (np.clip(nm, 0, 1) * 255).astype(np.uint8))
+    if textured is not None:
+        for j, p in enumerate(paths):
+            fn = os.path.splitext(os.path.basename(p))[0]
+            write_png(os.path.join(args.out_dir, f"{fn}_textured.png"),
+                      (np.clip(np.asarray(textured[j]), 0, 1) * 255)
+                      .astype(np.uint8))
     if len(paths) == 1:
         write_png(os.path.join(args.out_dir, f"{base}_geometry.png"),
                   (np.clip(np.asarray(shaded[0]), 0, 1) * 255).astype(np.uint8))
@@ -1528,6 +1555,12 @@ def main(argv=None) -> int:
                          "(without it the detail branch is random-init)")
     rc.add_argument("--uv-obj", default=None,
                     help="head_template.obj for real FLAME UVs")
+    rc.add_argument("--textured", action="store_true",
+                    help="also write SH-lit textured renders (EMOCA's "
+                         "predicted_images; PCA albedo needs --tex-npz)")
+    rc.add_argument("--tex-npz", default=None,
+                    help="FLAME texture npz (mean + tex_dir/basis); without "
+                         "it --textured uses a flat grey albedo")
     rc.set_defaults(fn=cmd_reconstruct)
 
     te = sub.add_parser("train-emote", help="staged EMOTE training loop")

@@ -67,7 +67,7 @@ def render_textured(
     faces: jax.Array,  # (F, 3)
     uvs: jax.Array,  # (Tv, 2) in [0, 1]
     face_uvs: jax.Array,  # (F, 3) indices into uvs
-    texture: jax.Array,  # (Ht, Wt, 3) albedo in [0, 1]
+    texture: jax.Array,  # (Ht, Wt, 3) or per-frame (B, Ht, Wt, 3), [0, 1]
     height: int = 256,
     width: int = 256,
     sh_coeff: Optional[jax.Array] = None,
@@ -100,9 +100,9 @@ def render_textured(
     grid = uv_img * 2.0 - 1.0
     # texture v axis points up in UV space -> flip to image rows
     grid = jnp.stack([grid[..., 0], -grid[..., 1]], axis=-1)
-    albedo = grid_sample_bilinear(
-        jnp.broadcast_to(texture[None], (B,) + texture.shape), grid
-    )
+    tex_b = (texture if texture.ndim == 4
+             else jnp.broadcast_to(texture[None], (B,) + texture.shape))
+    albedo = grid_sample_bilinear(tex_b, grid)
     n = safe_unit(n_img)  # NaN-free grad at uncovered (zero) pixels
     if sh_coeff is None:
         sh_coeff = jnp.broadcast_to(jnp.asarray(DEFAULT_LIGHT)[None], (B, 9, 3))

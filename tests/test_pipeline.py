@@ -223,3 +223,28 @@ def test_cli_reconstruct_with_detail(tmp_path):
 
     nm = read_png(str(tmp_path / "out" / "face_detail_normals.png"))
     assert nm.shape == (64, 64, 3)
+
+
+def test_cli_reconstruct_textured(tmp_path):
+    """reconstruct --textured writes EMOCA predicted_images-style SH-lit
+    albedo renders (PCA FLAMETex when --tex-npz is given, flat grey
+    otherwise) through the per-corner rasterizer path."""
+    import numpy as np
+
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.viz.pngio import read_png, write_png
+
+    img = np.random.default_rng(0).integers(0, 255, (48, 48, 3), np.uint8)
+    p = tmp_path / "face.png"
+    write_png(str(p), img)
+    side = 8
+    np.savez(tmp_path / "tex.npz",
+             mean=np.full((side * side * 3,), 120.0, np.float32),
+             tex_dir=np.random.default_rng(1).standard_normal(
+                 (side * side * 3, 50)).astype(np.float32))
+    rc = main(["reconstruct", "--image", str(p), "--out-dir",
+               str(tmp_path / "out"), "--tiny", "--size", "32",
+               "--textured", "--tex-npz", str(tmp_path / "tex.npz")])
+    assert rc == 0
+    render = read_png(str(tmp_path / "out" / "face_textured.png"))
+    assert render.shape == (32, 32, 3) and render.max() > 0
