@@ -39,7 +39,35 @@ def _emit(metric, value, unit, vs_baseline=None, note=None):
     print(json.dumps(line), flush=True)
 
 
+def _probe_devices(timeout_s: float = 300.0):
+    """Device discovery with a deadline: the axon tunnel has been observed
+    to hang `jax.devices()` indefinitely during outages — emit an explicit
+    error metric instead of stalling the bench harness forever."""
+    import os
+    import sys
+    import threading
+
+    box = []
+
+    def probe():
+        import jax
+
+        box.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)  # daemon: a hung
+    t.start()  # device query must not block interpreter exit
+    t.join(timeout_s)
+    if not box:
+        _emit("bench_unavailable", 1, "tpu_device_discovery_timed_out",
+              note=f"jax.devices() exceeded {timeout_s:.0f}s — axon tunnel "
+                   "down; no perf numbers this run")
+        sys.stdout.flush()
+        os._exit(2)
+    return box[0]
+
+
 def main():
+    _probe_devices()
     import jax
     import jax.numpy as jnp
 
