@@ -59,8 +59,13 @@ def _make_visibility_kernel(cap: int, px_n: int, chunk: int):
             z0, z1, z2 = tri[:, 2:3], tri[:, 5:6], tri[:, 8:9]
             denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
             safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
-            w0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) / safe
-            w1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) / safe
+            # one reciprocal per FACE ((chunk, 1)) instead of two divides
+            # per face-pixel: the w's here only gate visibility (the
+            # differentiable interp recomputes them in XLA), so the <=1 ulp
+            # drift vs a true divide is invisible off knife-edge pixels
+            inv = 1.0 / safe
+            w0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) * inv
+            w1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) * inv
             w2 = 1.0 - w0 - w1  # (chunk, px)
             inside = (
                 (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
