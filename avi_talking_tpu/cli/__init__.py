@@ -36,6 +36,7 @@ def main(argv=None) -> int:
         importers,
         reconstruct,
         run,
+        train_emoca,
         train_emote,
         train_faceformer,
         train_faceformer_vert,
@@ -46,7 +47,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="avi-talking-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for mod in (run, reconstruct, train_emote, train_prior, train_faceformer,
-                train_faceformer_vert, importers):
+                train_faceformer_vert, train_emoca, importers):
         mod.register(sub, common_args)
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,219 @@
+"""train-emoca: EMOCA/DECA coarse self-supervised training over an image
+folder (the reference's EMOCA training stage — gdl/models/DECA.py
+_compute_loss coarse branch; see train.emoca_trainer)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def cmd_train_emoca(args) -> int:
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import FlameModel, synthetic_assets
+    from ..core.assets import default_assets_path, load_flame_assets
+    from ..core.flame import FlameTex
+    from ..models.emoca import EmocaEncoder
+    from ..train.deca_losses import DecaLossWeights
+    from ..train.emoca_trainer import EmocaTrainer, train_emoca
+
+    S = args.size
+    if args.tiny:
+        assets = synthetic_assets(n_shape=8, n_exp=6, n_static_landmarks=51)
+        flame = FlameModel(assets, n_shape=8, n_exp=6)
+    else:
+        npz = args.flame_npz or default_assets_path()
+        if not npz:
+            raise SystemExit("train-emoca needs FLAME assets (--flame-npz)")
+        assets = load_flame_assets(npz, 100, 50)
+        flame = FlameModel(assets, n_shape=100, n_exp=50)
+
+    # UVs: head_template.obj when given, planar projection otherwise
+    if args.uv_obj:
+        from ..viz.meshio import read_obj
+
+        mesh = read_obj(args.uv_obj)
+        uv_coords = jnp.asarray(mesh.uvs)
+        uv_faces = jnp.asarray(mesh.face_uvs if mesh.face_uvs is not None
+                               else mesh.faces)
+    else:
+        t = np.asarray(assets.v_template)
+        span = t.max(0) - t.min(0) + 1e-6
+        uv_coords = jnp.asarray(((t - t.min(0)) / span)[:, :2])
+        uv_faces = assets.faces
+
+    ftex = (FlameTex.from_npz(args.tex_npz) if args.tex_npz else None)
+    if ftex is None:
+        print("train-emoca: no --tex-npz; flat grey albedo (albedo "
+              "regularizers become near-no-ops)", file=sys.stderr)
+
+    enc = EmocaEncoder(n_exp=flame.n_exp)
+    variables = enc.init(jax.random.PRNGKey(args.seed),
+                         jnp.zeros((1, S, S, 3)))
+    if args.checkpoint:
+        from ..infra.checkpoint import restore_checkpoint
+
+        variables = restore_checkpoint(args.checkpoint, target=variables)
+
+    B = args.batch_size
+    if args.root:
+        from ..viz.pngio import read_image_normalized
+
+        paths = sorted(glob.glob(os.path.join(args.root, "*.png")))
+        if not paths:
+            raise SystemExit(f"no PNG frames under {args.root}")
+        imgs = np.stack([read_image_normalized(p) for p in paths]) * 0.5 + 0.5
+        if imgs.shape[1] != S:
+            imgs = np.asarray(jax.image.resize(
+                jnp.asarray(imgs), (imgs.shape[0], S, S, 3), "bilinear"))
+        lmk_path = args.lmk_npy or os.path.join(args.root, "landmarks.npy")
+        if not os.path.exists(lmk_path):
+            raise SystemExit(
+                f"train-emoca needs 68-point landmarks ({lmk_path}); run a "
+                "detector offline or export from the EMOCA folders")
+        lmk = np.load(lmk_path).astype(np.float32)  # (N, 68, 2) in [-1, 1]
+        if lmk.shape[0] != imgs.shape[0]:
+            raise SystemExit(
+                f"landmarks ({lmk.shape[0]}) != frames ({imgs.shape[0]})")
+        rng = np.random.default_rng(args.seed)
+
+        def batches():
+            while True:
+                idx = rng.integers(0, imgs.shape[0], size=B)
+                yield {"images": jnp.asarray(imgs[idx]),
+                       "lmk": jnp.asarray(lmk[idx])}
+        print(f"data root: {imgs.shape[0]} frames")
+    else:
+        rng = np.random.default_rng(args.seed)
+        print("train-emoca: no --root; synthetic image batches (smoke)",
+              file=sys.stderr)
+
+        def batches():
+            while True:
+                yield {
+                    "images": jnp.asarray(rng.uniform(
+                        0, 1, (B, S, S, 3)).astype(np.float32)),
+                    "lmk": jnp.asarray(rng.uniform(
+                        -0.8, 0.8, (B, 68, 2)).astype(np.float32)),
+                }
+
+    trainer = EmocaTrainer(
+        encoder=enc, flame=flame, uv_coords=uv_coords, uv_faces=uv_faces,
+        flame_tex=ftex, image_size=S, weights=DecaLossWeights(),
+        train_exp_only=args.exp_only)
+    res = train_emoca(trainer, variables, batches(), steps=args.steps,
+                      lr=args.lr, log_every=args.log_every)
+    if args.ckpt_dir:
+        from ..infra.checkpoint import save_checkpoint
+
+        save_checkpoint(args.ckpt_dir, res["variables"])
+        print(f"saved encoder -> {args.ckpt_dir}")
+    print("final:", {k: round(v, 5) for k, v in res["metrics"].items()})
+    return 0
+
+
+def cmd_preprocess_mead(args) -> int:
+    """Raw frame folders -> EMOCA-preprocessed MEAD layout (the reference's
+    MEADDataModule/EmocaPreprocessor offline pass; data.preprocess)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.preprocess import EmocaPreprocessor, preprocess_clip_folder
+    from ..models.emoca import EmocaEncoder
+
+    S = args.size
+    enc = EmocaEncoder(n_exp=6 if args.tiny else 50)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+    if args.checkpoint:
+        if os.path.isdir(args.checkpoint):
+            from ..infra.checkpoint import restore_checkpoint
+
+            variables = restore_checkpoint(args.checkpoint, target=variables)
+        else:
+            import torch as _torch
+
+            from ..models.emoca import emoca_encoder_params_from_torch
+
+            sd = _torch.load(args.checkpoint, map_location="cpu",
+                             weights_only=False)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            pref = ""
+            for cand in ("deca.", "model.", ""):
+                if any(k.startswith(cand + "E_flame.") for k in sd):
+                    pref = cand
+                    break
+            variables = emoca_encoder_params_from_torch(sd, prefix=pref)
+    else:
+        print("preprocess-mead: no --checkpoint; EMOCA encoder is "
+              "RANDOM-init (smoke semantics — codes are meaningless)",
+              file=sys.stderr)
+
+    pre = EmocaPreprocessor(encoder=enc, variables=variables,
+                            max_b=args.max_b)
+    clips = sorted(
+        d for d in os.listdir(args.src)
+        if os.path.isdir(os.path.join(args.src, d)))
+    done = 0
+    for clip in clips:
+        out = preprocess_clip_folder(
+            pre, os.path.join(args.src, clip), args.out,
+            write_detections=not args.no_detections)
+        if out:
+            done += 1
+            print(f"[{done}/{len(clips)}] {clip} -> {out}")
+    print(f"preprocessed {done}/{len(clips)} clips -> {args.out}")
+    return 0 if done else 1
+
+
+def register(sub, common):
+    pm = sub.add_parser(
+        "preprocess-mead",
+        help="raw frame folders -> EMOCA-preprocessed MEAD layout")
+    pm.add_argument("--src", required=True,
+                    help="root of <clip>/*.png (+ optional <clip>/*.wav, "
+                         "validity.npy)")
+    pm.add_argument("--out", required=True)
+    pm.add_argument("--checkpoint", default=None,
+                    help="EMOCA encoder weights: orbax dir or torch ckpt")
+    pm.add_argument("--size", type=int, default=224)
+    pm.add_argument("--max-b", type=int, default=32,
+                    help="frames per jitted encoder dispatch")
+    pm.add_argument("--no-detections", action="store_true",
+                    help="skip writing detections/*.png crops")
+    pm.add_argument("--tiny", action="store_true")
+    pm.set_defaults(fn=cmd_preprocess_mead)
+
+    tm = sub.add_parser(
+        "train-emoca",
+        help="EMOCA coarse self-supervised training over an image folder")
+    tm.add_argument("--root", default=None,
+                    help="folder of face PNGs + landmarks.npy (68pt, [-1,1])")
+    tm.add_argument("--lmk-npy", default=None,
+                    help="explicit landmarks npy path (default "
+                         "<root>/landmarks.npy)")
+    tm.add_argument("--steps", type=int, default=200)
+    tm.add_argument("--batch-size", type=int, default=8)
+    tm.add_argument("--size", type=int, default=224,
+                    help="train image resolution")
+    tm.add_argument("--lr", type=float, default=1e-4)
+    tm.add_argument("--exp-only", action="store_true",
+                    help="freeze the coarse tower; train only E_expression "
+                         "(the EMOCA staging)")
+    tm.add_argument("--uv-obj", default=None,
+                    help="head_template.obj for real FLAME UVs")
+    tm.add_argument("--tex-npz", default=None,
+                    help="FLAME texture npz (PCA albedo)")
+    tm.add_argument("--tiny", action="store_true")
+    tm.add_argument("--flame-npz", default=None)
+    tm.add_argument("--checkpoint", default=None,
+                    help="orbax EmocaEncoder variables to start from")
+    tm.add_argument("--ckpt-dir", default=None)
+    tm.add_argument("--seed", type=int, default=0)
+    tm.add_argument("--log-every", type=int, default=50)
+    tm.set_defaults(fn=cmd_train_emoca)

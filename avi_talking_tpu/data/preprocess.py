@@ -1,0 +1,152 @@
+"""Raw-video -> EMOCA-folder preprocessing (pseudo-GT extraction).
+
+The in-framework equivalent of the reference's
+inferno/models/temporal/Preprocessors.py:330-489 (EmocaPreprocessor) +
+the MEAD/FaceVideoDataModule folder writers: run the frozen EmocaEncoder
+over a clip's frames in chunks, zero the global rotation, average the shape
+code over the clip weighted by landmark validity, and write the
+``EMOCA_v2_lr_mse_20/<frame>_000/{exp,pose,shape,cam}.npy`` layout that
+data.mead.MeadEmocaDataset consumes.
+
+The encoder forward runs in jitted fixed-size chunks (max_b batching,
+Preprocessors.py:381-405 — pad-to-chunk instead of a ragged tail so the
+TPU executable is reused across clips).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class EmocaPreprocessor:
+    """Frozen-encoder pseudo-GT extractor."""
+
+    encoder: object  # models.emoca.EmocaEncoder
+    variables: Dict
+    max_b: int = 32
+    with_global_pose: bool = False
+    average_shape_decode: bool = True
+    crash_on_invalid: bool = True
+
+    def __post_init__(self):
+        import jax
+
+        self._apply = jax.jit(
+            lambda v, x: self.encoder.apply(v, x, train=False))
+
+    def encode_frames(self, frames: np.ndarray) -> Dict[str, np.ndarray]:
+        """(T, H, W, 3) images in [0, 1] -> per-frame code arrays.
+
+        Chunked by ``max_b`` with tail padding so every dispatch reuses one
+        compiled executable (the reference's max_b loop re-traces ragged
+        tails; Preprocessors.py:381-405)."""
+        import jax.numpy as jnp
+
+        T = frames.shape[0]
+        outs = []
+        for i in range(0, T, self.max_b):
+            chunk = frames[i : i + self.max_b]
+            n = chunk.shape[0]
+            if n < self.max_b:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], self.max_b - n, axis=0)])
+            codes = self._apply(self.variables, jnp.asarray(chunk))
+            outs.append({k: np.asarray(v)[:n] for k, v in codes.items()})
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    def pseudo_gt(
+        self,
+        frames: np.ndarray,  # (T, H, W, 3) in [0, 1]
+        landmark_validity: Optional[np.ndarray] = None,  # (T,)
+    ) -> Dict[str, np.ndarray]:
+        """EmocaPreprocessor.forward semantics (Preprocessors.py:405-489):
+        zero global pose, landmark-validity-weighted average shape."""
+        codes = self.encode_frames(frames)
+        T = frames.shape[0]
+        if not self.with_global_pose:
+            codes["pose"] = codes["pose"].copy()
+            codes["pose"][:, :3] = 0.0
+        if landmark_validity is None:
+            w = np.full((T, 1), 1.0 / T, np.float32)
+        else:
+            s = landmark_validity.sum()
+            if s <= 0 or not np.isfinite(s):
+                msg = "landmark validity sums to zero/NaN"
+                if self.crash_on_invalid:
+                    raise ValueError(msg)
+                print(f"[WARNING] {msg}; falling back to uniform weights")
+                w = np.full((T, 1), 1.0 / T, np.float32)
+            else:
+                w = (landmark_validity / s).astype(np.float32)[:, None]
+        avg_shape = (w * codes["shape"]).sum(axis=0)
+        if self.average_shape_decode:
+            codes["shape"] = np.broadcast_to(
+                avg_shape[None], codes["shape"].shape).copy()
+        return codes
+
+
+def write_emoca_folders(
+    clip_dir: str,
+    codes: Dict[str, np.ndarray],
+    wav_src: Optional[str] = None,
+    detections: Optional[np.ndarray] = None,  # (T, H, W, 3) in [0, 1]
+) -> str:
+    """Write the MEAD/EMOCA folder layout data.mead reads:
+    <clip>/EMOCA_v2_lr_mse_20/<frame>_000/{exp,pose,shape,cam}.npy
+    (+ <clip>/<clip>.wav, + detections/<frame>.png crops)."""
+    frames_dir = os.path.join(clip_dir, "EMOCA_v2_lr_mse_20")
+    os.makedirs(frames_dir, exist_ok=True)
+    T = codes["exp"].shape[0]
+    for t in range(T):
+        fd = os.path.join(frames_dir, f"{t:05d}_000")
+        os.makedirs(fd, exist_ok=True)
+        for key in ("exp", "pose", "shape", "cam"):
+            np.save(os.path.join(fd, f"{key}.npy"), codes[key][t])
+    if wav_src and os.path.exists(wav_src):
+        import shutil
+
+        name = os.path.basename(clip_dir.rstrip("/"))
+        shutil.copyfile(wav_src, os.path.join(clip_dir, name + ".wav"))
+    if detections is not None:
+        from ..viz.pngio import write_png
+
+        det_dir = os.path.join(clip_dir, "detections")
+        os.makedirs(det_dir, exist_ok=True)
+        for t in range(T):
+            write_png(
+                os.path.join(det_dir, f"{t:05d}_000.png"),
+                (np.clip(detections[t], 0, 1) * 255).astype(np.uint8))
+    return clip_dir
+
+
+def preprocess_clip_folder(
+    pre: EmocaPreprocessor,
+    src_dir: str,  # folder of PNG frames (+ optional <name>.wav, validity.npy)
+    out_dir: str,
+    write_detections: bool = True,
+) -> Optional[str]:
+    """One raw clip folder -> one EMOCA-preprocessed clip folder."""
+    import glob
+
+    from ..viz.pngio import read_image_normalized
+
+    paths = sorted(glob.glob(os.path.join(src_dir, "*.png")))
+    if not paths:
+        return None
+    frames = np.stack([read_image_normalized(p) for p in paths]) * 0.5 + 0.5
+    validity = None
+    vp = os.path.join(src_dir, "validity.npy")
+    if os.path.exists(vp):
+        validity = np.load(vp).astype(np.float32)
+    codes = pre.pseudo_gt(frames, validity)
+    name = os.path.basename(src_dir.rstrip("/"))
+    wavs = glob.glob(os.path.join(src_dir, "*.wav"))
+    return write_emoca_folders(
+        os.path.join(out_dir, name), codes,
+        wav_src=wavs[0] if wavs else None,
+        detections=frames if write_detections else None)

@@ -1,0 +1,181 @@
+"""EMOCA/DECA coarse self-supervised training (encoder -> FLAME -> render).
+
+The in-framework equivalent of the reference's EMOCA training step
+(gdl/models/DECA.py: encode :780-900, decode :940-1050, _compute_loss
+:1776-2010): encode images to DECA codes, FLAME-decode + weak-perspective
+project, SH-lit textured render through viz.rasterizer, and optimize the
+coarse self-supervised loss set (train.deca_losses) — landmark/photometric
+consistency plus the shading/albedo/code regularizers.
+
+TPU posture: the whole step (encoder fwd, FLAME, rasterizer with the
+custom-vjp backward, losses, grads, adam update) is ONE jitted graph; batch
+is shardable over dp (the encoder is a plain ResNet — no cross-sample
+state except BatchNorm running stats, which train in inference mode here
+like the reference's frozen-BN fine-tune mode).
+
+``train_exp_only`` reproduces EMOCA's staging: DECA's coarse tower is
+frozen and only the expression tower trains (EMOCA paper / gdl configs'
+E_expression fine-tune), via optax.masked zeroing of coarse grads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.flame import FlameModel, FlameTex
+from ..core.projection import batch_orth_proj
+from ..models.emoca import EmocaEncoder
+from ..viz.shading import render_textured
+from .deca_losses import DecaLossWeights, coarse_losses
+
+
+@dataclasses.dataclass
+class EmocaTrainer:
+    """Owns the frozen geometry/render plumbing around the trainable
+    EmocaEncoder."""
+
+    encoder: EmocaEncoder
+    flame: FlameModel
+    uv_coords: jax.Array  # (Tv, 2)
+    uv_faces: jax.Array  # (F, 3)
+    flame_tex: Optional[FlameTex] = None  # PCA albedo; None -> flat grey
+    image_size: int = 224
+    weights: DecaLossWeights = dataclasses.field(default_factory=DecaLossWeights)
+    train_exp_only: bool = False
+    raster_chunk: int = 2048
+
+    # -- decode ------------------------------------------------------------
+
+    def decode(self, codes: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """codes -> codedict with renders/landmarks (DECA.decode semantics:
+        batch_orth_proj + y/z flip at :969-973, SRenderY render :987)."""
+        shape = codes["shape"][:, : self.flame.n_shape]
+        exp = codes["exp"][:, : self.flame.n_exp]
+        pose, cam = codes["pose"], codes["cam"]
+        verts, lmk2d, _ = self.flame(shape, exp, pose)
+        trans = batch_orth_proj(verts, cam)
+        ndc = jnp.stack([trans[..., 0], -trans[..., 1], -trans[..., 2]],
+                        axis=-1)
+        plmk = batch_orth_proj(lmk2d, cam)[..., :2]
+        plmk = jnp.stack([plmk[..., 0], -plmk[..., 1]], axis=-1)
+
+        light = codes["light"].reshape(codes["light"].shape[0], 9, 3)
+        if self.flame_tex is not None:
+            albedo = self.flame_tex(codes["tex"])
+        else:
+            albedo = jnp.full((shape.shape[0], 8, 8, 3), 0.6, shape.dtype)
+        imgs, aux = render_textured(
+            ndc, self.flame.assets.faces, self.uv_coords, self.uv_faces,
+            albedo, self.image_size, self.image_size, sh_coeff=light,
+            chunk=self.raster_chunk, return_aux=True)
+        return {
+            "verts": verts,
+            "trans_verts": ndc,
+            "predicted_landmarks": plmk,
+            "predicted_images": imgs,
+            "shading": aux["shading"],
+            "albedo": albedo,
+            "alpha": aux["alpha_images"],
+            "shapecode": shape,
+            "expcode": exp,
+            "texcode": codes["tex"],
+            "lightcode": light,
+            "posecode": pose,
+        }
+
+    # -- loss --------------------------------------------------------------
+
+    def loss_fn(
+        self,
+        params: Dict[str, Any],
+        static_cols: Dict[str, Any],  # batch_stats etc. (frozen)
+        batch: Dict[str, jax.Array],
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """batch: images (B,H,W,3) in [0,1], lmk (B,68,2) in [-1,1] NDC,
+        masks (B,H,W,1) skin mask (defaults to the render alpha)."""
+        variables = {"params": params, **static_cols}
+        codes = self.encoder.apply(variables, batch["images"], train=False)
+        codedict = self.decode(codes)
+        masks = batch.get("masks")
+        if masks is None:
+            # no segmentation labels: compare inside the render coverage
+            # (the reference's useSeg=False path masks by rend_mask)
+            masks = codedict["alpha"][..., None].astype(batch["images"].dtype)
+        codedict.update(
+            images=batch["images"], lmk=batch["lmk"], masks=masks)
+        terms = coarse_losses(codedict, self.weights)
+        total = sum(terms.values())
+        return total, terms
+
+    # -- optimizer ---------------------------------------------------------
+
+    def make_tx(self, lr: float = 1e-4) -> optax.GradientTransformation:
+        tx = optax.adam(lr)
+        if self.train_exp_only:
+            def labels(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "freeze" if any(
+                        getattr(k, "key", None) == "coarse" for k in path)
+                    else "train",
+                    params)
+
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, labels)
+        return tx
+
+    def jitted_train_step(
+        self, tx: optax.GradientTransformation, donate: bool = True
+    ) -> Callable:
+        """(params, opt_state, static_cols, batch) -> (params, opt, terms).
+        ``static_cols`` carries the frozen non-param collections
+        (batch_stats run in inference mode, matching the reference's
+        frozen-BN posture)."""
+
+        def step(params, opt_state, static_cols, batch):
+            (loss, terms), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True)(params, static_cols, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            terms = dict(terms, total=loss)
+            return params, opt_state, terms
+
+        kw = {"donate_argnums": (0, 1)} if donate else {}
+        return jax.jit(step, **kw)
+
+
+def train_emoca(
+    trainer: EmocaTrainer,
+    variables: Dict[str, Any],
+    batches: Iterator[Dict[str, jax.Array]],
+    steps: int,
+    lr: float = 1e-4,
+    log_every: int = 50,
+    log_fn: Callable[[int, Dict[str, float]], None] = None,
+) -> Dict[str, Any]:
+    """Run the coarse training loop; returns final variables + metrics."""
+    params = variables["params"]
+    static_cols = {k: v for k, v in variables.items() if k != "params"}
+    tx = trainer.make_tx(lr)
+    opt_state = tx.init(params)
+    step = trainer.jitted_train_step(tx)
+    terms = {}
+    for i in range(steps):
+        params, opt_state, terms = step(params, opt_state, static_cols,
+                                        next(batches))
+        if log_every and (i + 1) % log_every == 0:
+            vals = {k: float(v) for k, v in terms.items()}
+            if log_fn is not None:
+                log_fn(i + 1, vals)
+            else:
+                print(f"step {i + 1}: total={vals['total']:.4f} "
+                      f"photo={vals.get('photometric', 0):.4f} "
+                      f"lmk={vals.get('landmark', 0):.4f}")
+    return {
+        "variables": {"params": params, **static_cols},
+        "metrics": {k: float(v) for k, v in terms.items()},
+    }

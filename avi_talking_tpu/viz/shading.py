@@ -73,10 +73,14 @@ def render_textured(
     sh_coeff: Optional[jax.Array] = None,
     background: float = 0.0,
     chunk: int = 2048,
+    return_aux: bool = False,
 ) -> jax.Array:
     """SRenderY-style textured render: rasterize per-corner UVs, bilinear
     sample the texture, apply SH lighting on interpolated normals
-    (gdl/models/Renderer.py SRenderY.forward, texture + lighting path)."""
+    (gdl/models/Renderer.py SRenderY.forward, texture + lighting path).
+
+    ``return_aux`` also returns the SRenderY ops dict pieces the DECA
+    training losses consume (shading / albedo_images / alpha mask)."""
     from ..models.pirender import grid_sample_bilinear
 
     B = vertices_ndc.shape[0]
@@ -108,7 +112,15 @@ def render_textured(
         sh_coeff = jnp.broadcast_to(jnp.asarray(DEFAULT_LIGHT)[None], (B, 9, 3))
     shading = add_sh_light(n, sh_coeff)
     img = jnp.clip(albedo * shading / math.pi, 0.0, 1.0)
-    return jnp.where(mask[..., None], img, background)
+    out = jnp.where(mask[..., None], img, background)
+    if return_aux:
+        return out, {
+            "shading": shading,
+            "albedo_images": jnp.where(mask[..., None], albedo, 0.0),
+            "alpha_images": mask,
+            "normal_images": n,
+        }
+    return out
 
 
 def render_shaded(

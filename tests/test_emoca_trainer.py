@@ -1,0 +1,99 @@
+"""EMOCA coarse self-supervised training: wiring + overfit tests
+(train.emoca_trainer; reference gdl/models/DECA.py _compute_loss coarse)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avi_talking_tpu.core import FlameModel, synthetic_assets
+from avi_talking_tpu.models.emoca import EmocaEncoder
+from avi_talking_tpu.train.deca_losses import DecaLossWeights
+from avi_talking_tpu.train.emoca_trainer import EmocaTrainer, train_emoca
+
+S = 32
+
+
+def _make_trainer(train_exp_only=False, **wkw):
+    assets = synthetic_assets(n_shape=8, n_exp=6, n_static_landmarks=51)
+    flame = FlameModel(assets, n_shape=8, n_exp=6)
+    t = np.asarray(assets.v_template)
+    span = t.max(0) - t.min(0) + 1e-6
+    uv = jnp.asarray(((t - t.min(0)) / span)[:, :2])
+    enc = EmocaEncoder(n_exp=6)
+    trainer = EmocaTrainer(
+        encoder=enc, flame=flame, uv_coords=uv, uv_faces=assets.faces,
+        image_size=S, weights=DecaLossWeights(**wkw),
+        train_exp_only=train_exp_only, raster_chunk=256)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+    return trainer, variables
+
+
+def _batch(rng, B=2):
+    return {
+        "images": jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)),
+        "lmk": jnp.asarray(rng.uniform(-0.8, 0.8, (B, 68, 2)).astype(np.float32)),
+    }
+
+
+def test_emoca_train_step_runs_and_updates():
+    trainer, variables = _make_trainer()
+    rng = np.random.default_rng(0)
+    params = variables["params"]
+    static = {k: v for k, v in variables.items() if k != "params"}
+    tx = trainer.make_tx(1e-4)
+    step = trainer.jitted_train_step(tx, donate=False)
+    new_params, opt, terms = step(params, tx.init(params), static, _batch(rng))
+    for k in ("landmark", "photometric", "shading_white", "total"):
+        assert np.isfinite(float(terms[k])), k
+    # both towers move by default
+    d_coarse = jax.tree.reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()),
+        jax.tree.map(lambda a, b: a - b, new_params["coarse"],
+                     params["coarse"]), 0.0)
+    d_exp = jax.tree.reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()),
+        jax.tree.map(lambda a, b: a - b, new_params["expression"],
+                     params["expression"]), 0.0)
+    assert d_coarse > 0 and d_exp > 0
+
+
+def test_emoca_exp_only_freezes_coarse_tower():
+    trainer, variables = _make_trainer(train_exp_only=True)
+    rng = np.random.default_rng(1)
+    params = variables["params"]
+    static = {k: v for k, v in variables.items() if k != "params"}
+    tx = trainer.make_tx(1e-3)
+    step = trainer.jitted_train_step(tx, donate=False)
+    new_params, _, _ = step(params, tx.init(params), static, _batch(rng))
+    d_coarse = jax.tree.reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()),
+        jax.tree.map(lambda a, b: a - b, new_params["coarse"],
+                     params["coarse"]), 0.0)
+    d_exp = jax.tree.reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()),
+        jax.tree.map(lambda a, b: a - b, new_params["expression"],
+                     params["expression"]), 0.0)
+    assert d_coarse == 0.0
+    assert d_exp > 0
+
+
+@pytest.mark.slow
+def test_emoca_overfit_tiny():
+    """Loss decreases substantially when overfitting one fixed batch."""
+    trainer, variables = _make_trainer()
+    rng = np.random.default_rng(2)
+    fixed = _batch(rng, B=2)
+
+    def batches():
+        while True:
+            yield fixed
+
+    params = variables["params"]
+    static = {k: v for k, v in variables.items() if k != "params"}
+    first = float(trainer.loss_fn(params, static, fixed)[0])
+    res = train_emoca(trainer, variables, batches(), steps=40, lr=3e-4,
+                      log_every=0)
+    last = res["metrics"]["total"]
+    assert np.isfinite(last)
+    assert last < first * 0.85, (first, last)

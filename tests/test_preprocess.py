@@ -1,0 +1,80 @@
+"""Raw-video -> EMOCA-folder preprocessing (data.preprocess +
+cli preprocess-mead): fixture PNG frames in, MEAD layout out, loadable by
+MeadEmocaDataset (reference Preprocessors.py:330-489 semantics)."""
+
+import os
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avi_talking_tpu.data.preprocess import EmocaPreprocessor
+from avi_talking_tpu.models.emoca import EmocaEncoder
+
+
+def _write_wav(path, n=16000):
+    rng = np.random.default_rng(0)
+    pcm = (rng.uniform(-0.2, 0.2, n) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+
+def test_pseudo_gt_shape_average_and_zero_pose():
+    enc = EmocaEncoder(n_exp=6)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    pre = EmocaPreprocessor(encoder=enc, variables=variables, max_b=3)
+    rng = np.random.default_rng(1)
+    frames = rng.uniform(0, 1, (5, 16, 16, 3)).astype(np.float32)
+    validity = np.asarray([1.0, 0.0, 1.0, 1.0, 0.0], np.float32)
+    raw = pre.encode_frames(frames)
+    codes = pre.pseudo_gt(frames, validity)
+    # global rotation zeroed, jaw kept
+    assert np.allclose(codes["pose"][:, :3], 0.0)
+    assert np.allclose(codes["pose"][:, 3:], raw["pose"][:, 3:])
+    # validity-weighted average shape, constant over frames
+    w = validity / validity.sum()
+    want = (w[:, None] * raw["shape"]).sum(0)
+    assert np.allclose(codes["shape"], want[None], atol=1e-5)
+    # chunked encode (max_b=3 with a padded tail) == one-shot encode
+    one = np.asarray(enc.apply(variables, jnp.asarray(frames), train=False)["exp"])
+    assert np.allclose(raw["exp"], one, atol=1e-5)
+
+
+def test_preprocess_mead_cli_roundtrip(tmp_path):
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.viz.pngio import write_png
+
+    src = tmp_path / "raw" / "M003_front_happy_level2_001"
+    src.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    for t in range(4):
+        write_png(str(src / f"{t:04d}.png"),
+                  (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8))
+    _write_wav(str(src / "M003_front_happy_level2_001.wav"), n=4 * 640)
+    np.save(str(src / "validity.npy"), np.ones(4, np.float32))
+
+    out = tmp_path / "emoca"
+    rc = main(["preprocess-mead", "--src", str(tmp_path / "raw"),
+               "--out", str(out), "--size", "32", "--max-b", "2"])
+    assert rc == 0
+    clip = out / "M003_front_happy_level2_001"
+    fd = clip / "EMOCA_v2_lr_mse_20" / "00000_000"
+    for key in ("exp", "pose", "shape", "cam"):
+        assert (fd / f"{key}.npy").exists()
+    assert np.load(str(fd / "exp.npy")).shape == (50,)
+    assert (clip / "M003_front_happy_level2_001.wav").exists()
+    assert (clip / "detections" / "00000_000.png").exists()
+
+    # the produced layout loads through the dataset
+    from avi_talking_tpu.data import MeadEmocaDataset
+
+    ds = MeadEmocaDataset(root=str(out), seq_length=2)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["coeff"].shape == (2, 59)
+    assert np.isfinite(item["coeff"]).all()
+    assert item["audio"].shape[0] == 2 * 640
