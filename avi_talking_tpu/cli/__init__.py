@@ -40,6 +40,7 @@ def main(argv=None) -> int:
         train_emote,
         train_faceformer,
         train_faceformer_vert,
+        train_pirender,
         train_prior,
     )
     from ._common import common_args
@@ -47,7 +48,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="avi-talking-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for mod in (run, reconstruct, train_emote, train_prior, train_faceformer,
-                train_faceformer_vert, train_emoca, importers):
+                train_faceformer_vert, train_emoca, train_pirender,
+                importers):
         mod.register(sub, common_args)
     args = p.parse_args(argv)
     return args.fn(args)

@@ -281,6 +281,8 @@ class MeadEmocaDataset:
             os.path.join(frames_dir, "*", "detections", "*_000.png"),
             os.path.join(frames_dir, "*", "*", "detections", "*_000.png"),
             os.path.join(os.path.dirname(frames_dir), "*", "detections", "*_000.png"),
+            # cli preprocess-mead layout: crops directly under the clip dir
+            os.path.join(os.path.dirname(frames_dir), "detections", "*_000.png"),
         ):
             cands = sorted(glob.glob(pat))
             if cands:
