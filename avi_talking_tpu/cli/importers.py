@@ -35,10 +35,14 @@ def cmd_import_prior(args) -> int:
             dest = import_tokenizer_assets(hf)
             print(f"vendored CLIP tokenizer from the HF cache -> {dest}")
         except (FileNotFoundError, ValueError):
-            print("WARNING: no CLIP tokenizer vocab found. The imported "
-                  "prior will REFUSE to run until you run "
-                  "`import-clip --src <dir with vocab.json+merges.txt>`.",
-                  file=sys.stderr)
+            # error, not warning: real prior weights + a non-CLIP tokenizer
+            # produce garbage ids (reference loads both together,
+            # models/diffusion_prior.py:36-44)
+            raise SystemExit(
+                "import-prior: real prior weights imported but no CLIP "
+                "tokenizer vocab found. Run `import-clip --src <dir with "
+                "vocab.json+merges.txt>` first (the orbax checkpoint was "
+                "written; it will refuse to serve until the vocab exists).")
     return 0
 
 

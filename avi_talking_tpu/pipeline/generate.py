@@ -147,20 +147,37 @@ def load_tokenizer(
 
         return tokenize
     except Exception:
-        if require_real:
-            raise RuntimeError(
-                "No CLIP tokenizer vocab found. Real CLIP weights need the "
-                "real BPE tokenizer: place vocab.json + merges.txt under "
-                "assets/clip_tokenizer/ (or set AVI_TALKING_CLIP_TOKENIZER)."
-            )
-        import warnings
-
-        warnings.warn(
-            "CLIP vocab not found — falling back to the hash tokenizer. "
-            "Fine for random weights; WRONG for imported CLIP checkpoints.",
-            stacklevel=2,
+        pass
+    if require_real:
+        raise RuntimeError(
+            "No CLIP tokenizer vocab found. Real CLIP weights need the "
+            "real BPE tokenizer: place vocab.json + merges.txt under "
+            "assets/clip_tokenizer/ (or set AVI_TALKING_CLIP_TOKENIZER)."
         )
-        return _HashTokenizer(vocab_size, max_length)
+    # 3. packaged default vocab: a real BPE learned over the caption corpus
+    # (text/default_vocab, built by text.clip_bpe.learn_bpe). Proper
+    # tokenization for random-weight/self-trained runs — only imported CLIP
+    # checkpoints (require_real above) demand the exact OpenAI vocab.
+    import os as _os
+
+    default_dir = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "text", "default_vocab")
+    if _os.path.exists(_os.path.join(default_dir, "vocab.json")):
+        from ..text import ClipBpeTokenizer as _Tok
+
+        tok = _Tok.from_dir(default_dir, max_length=max_length)
+        if tok.vocab_size <= vocab_size:
+            return tok
+        return lambda texts, _t=tok: tok(texts) % vocab_size
+    import warnings
+
+    warnings.warn(
+        "CLIP vocab not found — falling back to the hash tokenizer. "
+        "Fine for random weights; WRONG for imported CLIP checkpoints.",
+        stacklevel=2,
+    )
+    return _HashTokenizer(vocab_size, max_length)
 
 
 _load_tokenizer = load_tokenizer  # backwards-compat alias

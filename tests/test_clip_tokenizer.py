@@ -158,6 +158,43 @@ def test_load_tokenizer_resolution(monkeypatch, learned):
         load_tokenizer(99, 16, require_real=True)
 
 
+def test_default_vocab_fallback(monkeypatch):
+    """With no vendored/env/HF vocab anywhere, load_tokenizer rides the
+    PACKAGED default BPE (text/default_vocab, learned over the caption
+    corpus) with NO hash-fallback warning; require_real still refuses it
+    (imported CLIP weights need the exact OpenAI vocab)."""
+    import warnings
+
+    from avi_talking_tpu.pipeline import generate as G
+    from avi_talking_tpu.text import ClipBpeTokenizer
+
+    monkeypatch.delenv("AVI_TALKING_CLIP_TOKENIZER", raising=False)
+    monkeypatch.setattr(
+        "avi_talking_tpu.text.find_tokenizer_assets",
+        lambda explicit=None: None)
+    # sever the HF local-cache path too
+    import transformers
+
+    monkeypatch.setattr(
+        transformers.CLIPTokenizer, "from_pretrained",
+        classmethod(lambda cls, *a, **k: (_ for _ in ()).throw(OSError())))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tok = G.load_tokenizer(49408, 77)
+    assert isinstance(tok, ClipBpeTokenizer)
+    ids = tok(["A fairly angry man speaks with brow fairly down"])
+    assert ids.shape == (1, 77) and ids.max() < tok.vocab_size
+    # proper BPE: different captions -> different ids
+    ids2 = tok(["A happy person speaks with raised cheeks"])
+    assert not (ids == ids2).all()
+    # tiny configs fold ids into range
+    small = G.load_tokenizer(64, 16)
+    assert small(["hello there"]).max() < 64
+    # real weights still demand the real vocab
+    with pytest.raises(RuntimeError):
+        G.load_tokenizer(49408, 77, require_real=True)
+
+
 def test_validate_tokenizer_assets(learned, tmp_path):
     """Layout validation: good pair passes; corrupted layouts are refused
     (specials misplaced / missing byte symbols / id gaps)."""
