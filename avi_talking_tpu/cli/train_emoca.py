@@ -52,13 +52,14 @@ def cmd_train_emoca(args) -> int:
         print("train-emoca: no --tex-npz; flat grey albedo (albedo "
               "regularizers become near-no-ops)", file=sys.stderr)
 
-    enc = EmocaEncoder(n_exp=flame.n_exp)
-    variables = enc.init(jax.random.PRNGKey(args.seed),
-                         jnp.zeros((1, S, S, 3)))
-    if args.checkpoint:
-        from ..infra.checkpoint import restore_checkpoint
+    if not args.detail:
+        enc = EmocaEncoder(n_exp=flame.n_exp)
+        variables = enc.init(jax.random.PRNGKey(args.seed),
+                             jnp.zeros((1, S, S, 3)))
+        if args.checkpoint:
+            from ..infra.checkpoint import restore_checkpoint
 
-        variables = restore_checkpoint(args.checkpoint, target=variables)
+            variables = restore_checkpoint(args.checkpoint, target=variables)
 
     B = args.batch_size
     if args.root:
@@ -102,12 +103,57 @@ def cmd_train_emoca(args) -> int:
                         -0.8, 0.8, (B, 68, 2)).astype(np.float32)),
                 }
 
-    trainer = EmocaTrainer(
-        encoder=enc, flame=flame, uv_coords=uv_coords, uv_faces=uv_faces,
-        flame_tex=ftex, image_size=S, weights=DecaLossWeights(),
-        train_exp_only=args.exp_only)
-    res = train_emoca(trainer, variables, batches(), steps=args.steps,
-                      lr=args.lr, log_every=args.log_every)
+    if args.detail:
+        # DETAIL stage: frozen coarse pipeline; E_detail + D_detail train
+        # (train.emoca_trainer.DecaDetailTrainer)
+        import optax
+
+        from ..models.deca_detail import DecaDetailModel, DetailGenerator
+        from ..models.emoca import EmocaEncoder as _Enc
+        from ..train.emoca_trainer import DecaDetailTrainer
+
+        n_detail = 4 if args.tiny else 128
+        enc = _Enc(n_exp=flame.n_exp, with_detail=True, n_detail=n_detail)
+        variables = enc.init(jax.random.PRNGKey(args.seed),
+                             jnp.zeros((1, S, S, 3)))
+        if args.checkpoint:
+            from ..infra.checkpoint import restore_checkpoint
+
+            variables = restore_checkpoint(args.checkpoint, target=variables)
+        gen_d = DetailGenerator(latent_dim=3 + flame.n_exp + n_detail,
+                                init_size=2 if args.tiny else 8)
+        gvars = gen_d.init(jax.random.PRNGKey(args.seed + 1),
+                           jnp.zeros((1, 3 + flame.n_exp + n_detail)))
+        dm = DecaDetailModel(
+            generator=gen_d, variables=gvars, faces=flame.assets.faces,
+            uv_coords=uv_coords, uv_faces=uv_faces,
+            uv_size=64 if args.tiny else 256)
+        trainer = DecaDetailTrainer(
+            encoder=enc, detail_model=dm, flame=flame, flame_tex=ftex,
+            image_size=S)
+        train_params = {"detail": variables["params"]["detail"],
+                        "generator": gvars}
+        tx = optax.adam(args.lr)
+        opt = tx.init(train_params)
+        step = trainer.jitted_train_step(tx, donate=False)
+        it = batches()
+        terms = {}
+        for i in range(args.steps):
+            train_params, opt, terms = step(train_params, opt, variables,
+                                            next(it))
+            if args.log_every and (i + 1) % args.log_every == 0:
+                print(f"step {i + 1}: " + " ".join(
+                    f"{k}={float(v):.4f}" for k, v in terms.items()))
+        res = {"variables": {"encoder": variables,
+                             "detail": train_params},
+               "metrics": {k: float(v) for k, v in terms.items()}}
+    else:
+        trainer = EmocaTrainer(
+            encoder=enc, flame=flame, uv_coords=uv_coords, uv_faces=uv_faces,
+            flame_tex=ftex, image_size=S, weights=DecaLossWeights(),
+            train_exp_only=args.exp_only)
+        res = train_emoca(trainer, variables, batches(), steps=args.steps,
+                          lr=args.lr, log_every=args.log_every)
     if args.ckpt_dir:
         from ..infra.checkpoint import save_checkpoint
 
@@ -205,6 +251,9 @@ def register(sub, common):
     tm.add_argument("--exp-only", action="store_true",
                     help="freeze the coarse tower; train only E_expression "
                          "(the EMOCA staging)")
+    tm.add_argument("--detail", action="store_true",
+                    help="DETAIL stage: train E_detail + D_detail with the "
+                         "displacement losses (frozen coarse pipeline)")
     tm.add_argument("--uv-obj", default=None,
                     help="head_template.obj for real FLAME UVs")
     tm.add_argument("--tex-npz", default=None,

@@ -245,6 +245,87 @@ def ring_loss(
 
 
 # --------------------------------------------------------------------------
+# detail-stage regularizers (DECA.py:2207-2210)
+# --------------------------------------------------------------------------
+
+
+def z_reg(uv_z: jax.Array) -> jax.Array:
+    """mean |displacement| (DECA.py:2207)."""
+    return jnp.mean(jnp.abs(uv_z))
+
+
+def binary_erosion_mask(mask: jax.Array, kernel_size: int = 5) -> jax.Array:
+    """scipy.ndimage.binary_erosion with a full kernel + zero border
+    (DecaUtils.py:547-555), NHWC floats in {0, 1}: 1 only where the whole
+    kxk neighbourhood is 1."""
+    pad = kernel_size // 2
+    x = jnp.pad(mask, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    eroded = -jax.lax.reduce_window(
+        -x, -jnp.inf, jax.lax.max,
+        (1, kernel_size, kernel_size, 1), (1, 1, 1, 1), "VALID")
+    return (eroded > 0.5).astype(mask.dtype)
+
+
+def z_symmetry_loss(uv_z: jax.Array, uv_vis_mask: jax.Array) -> jax.Array:
+    """Soft left/right symmetry OUTSIDE the visible region (DECA.py:2209-
+    2210): nonvis = 1 - erode(vis); sum(nonvis * |z - flip_w(z).detach()|).
+    NHWC (flip over W = the reference's dim -1)."""
+    nonvis = 1.0 - binary_erosion_mask(uv_vis_mask)
+    flipped = jax.lax.stop_gradient(jnp.flip(uv_z, axis=2))
+    return jnp.sum(nonvis * jnp.abs(uv_z - flipped))
+
+
+def resize_bilinear(x: jax.Array, h: int, w: int) -> jax.Array:
+    """F.interpolate(mode='bilinear', align_corners=False) equivalent."""
+    return jax.image.resize(x, x.shape[:1] + (h, w) + x.shape[3:], "bilinear")
+
+
+# default face-attention patches as UV-square fractions (x0, x1, y0, y1) —
+# stand-ins for the reference's face_attr_mask npy asset (eyes / nose /
+# mouth regions of the FLAME UV layout)
+DEFAULT_FACE_ATTR_PATCHES = (
+    (0.15, 0.85, 0.25, 0.55),  # eye band
+    (0.35, 0.65, 0.40, 0.75),  # nose
+    (0.25, 0.75, 0.60, 0.90),  # mouth
+)
+
+
+def detail_patch_losses(
+    uv_texture: jax.Array,  # (B, H, W, 3) detail-shaded UV texture
+    uv_texture_gt: jax.Array,  # (B, H, W, 3) image sampled into UV space
+    uv_vis_mask: jax.Array,  # (B, H, W, 1)
+    sfsw=(1.0, 1.0, 1.0),
+    patches=DEFAULT_FACE_ATTR_PATCHES,
+    patch_size: int = 256,
+    idmrf: "IDMRFLoss | None" = None,
+    vgg_apply=None,
+    mrfwr: float = 5e-2,
+) -> Dict[str, jax.Array]:
+    """Per-patch masked L1 (+ optional IDMRF) between the detail-shaded UV
+    texture and the UV-unwrapped input (DECA.py:2132-2205). Patches are
+    fractional UV boxes (the reference indexes a face_attr_mask asset)."""
+    H, W = uv_texture.shape[1:3]
+    terms: Dict[str, jax.Array] = {}
+    for pi, (x0, x1, y0, y1) in enumerate(patches):
+        if not sfsw[pi]:
+            continue
+        xs, xe = int(x0 * W), max(int(x1 * W), int(x0 * W) + 1)
+        ys, ye = int(y0 * H), max(int(y1 * H), int(y0 * H) + 1)
+        tp = resize_bilinear(uv_texture[:, ys:ye, xs:xe], patch_size, patch_size)
+        gp = resize_bilinear(uv_texture_gt[:, ys:ye, xs:xe], patch_size,
+                             patch_size)
+        mp = resize_bilinear(uv_vis_mask[:, ys:ye, xs:xe], patch_size,
+                             patch_size)
+        terms[f"detail_l1_{pi}"] = (
+            jnp.abs(tp * mp - gp * mp).mean() * sfsw[pi])
+        if idmrf is not None and vgg_apply is not None:
+            fg = vgg_apply(tp * mp)
+            ft = vgg_apply(gp * mp)
+            terms[f"detail_mrf_{pi}"] = idmrf(fg, ft) * sfsw[pi] * mrfwr
+    return terms
+
+
+# --------------------------------------------------------------------------
 # IDMRF (DecaLosses.py:461-546) on the shared VGG19 tower
 # --------------------------------------------------------------------------
 

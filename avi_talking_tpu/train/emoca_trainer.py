@@ -148,6 +148,141 @@ class EmocaTrainer:
         return jax.jit(step, **kw)
 
 
+@dataclasses.dataclass
+class DecaDetailTrainer:
+    """DECA/EMOCA DETAIL-stage training (gdl/models/DECA.py decode
+    :1060-1127 + _compute_loss detail branch :2033-2210): the frozen coarse
+    pipeline plus the trainable E_detail tower and D_detail generator.
+
+    Loss set: masked photometric L1 on the detail render (photow=2),
+    face-patch L1 (+ optional IDMRF) between the detail-shaded UV texture
+    and the UV-unwrapped input (sfsw=[5,0,0] / mrfwr=0.05), and the
+    displacement regularizers z_reg/z_diff/z_sym (0.005 each) — the
+    default_detail_expdeca_emonet.yaml weights."""
+
+    encoder: EmocaEncoder  # with_detail=True
+    detail_model: object  # models.deca_detail.DecaDetailModel (generator+UVs)
+    flame: FlameModel
+    flame_tex: Optional[FlameTex] = None
+    image_size: int = 224
+    photow: float = 2.0
+    sfsw: tuple = (5.0, 0.0, 0.0)
+    mrfwr: float = 0.05
+    zregw: float = 0.005
+    zdiffw: float = 0.005
+    zsymw: float = 0.005
+    use_idmrf: bool = False
+    vgg_apply: Optional[Callable] = None  # images -> {tap: feat} for IDMRF
+    raster_chunk: int = 2048
+
+    def loss_fn(self, train_params, frozen, batch):
+        """``train_params``: {"detail": E_detail params, "generator":
+        D_detail variables}; ``frozen``: full coarse encoder variables.
+        batch: images (B,H,W,3) in [0,1], optional masks (B,H,W,1)."""
+        import math as _math
+
+        from ..models.deca_detail import world2uv
+        from ..models.pirender import grid_sample_bilinear
+        from ..viz.rasterizer import compute_vertex_normals
+        from ..viz.shading import add_sh_light, render_detailed
+        from .deca_losses import (
+            detail_patch_losses,
+            photometric_loss,
+            shading_smooth_loss,
+            z_reg,
+            z_symmetry_loss,
+        )
+
+        images = batch["images"]
+        B = images.shape[0]
+        # frozen coarse encode (+ trainable detail tower grafted in)
+        enc_vars = jax.tree.map(jax.lax.stop_gradient, frozen)
+        enc_vars = {
+            **enc_vars,
+            "params": {**enc_vars["params"],
+                       "detail": train_params["detail"]},
+        }
+        codes = self.encoder.apply(enc_vars, images, train=False)
+        shape = jax.lax.stop_gradient(codes["shape"][:, : self.flame.n_shape])
+        exp = jax.lax.stop_gradient(codes["exp"][:, : self.flame.n_exp])
+        pose = jax.lax.stop_gradient(codes["pose"])
+        cam = jax.lax.stop_gradient(codes["cam"])
+        light = jax.lax.stop_gradient(
+            codes["light"].reshape(B, 9, 3))
+        verts = self.flame(shape, exp, pose)[0]
+        trans = batch_orth_proj(verts, cam)
+        ndc = jnp.stack([trans[..., 0], -trans[..., 1], -trans[..., 2]],
+                        axis=-1)
+        if self.flame_tex is not None:
+            albedo = jax.lax.stop_gradient(self.flame_tex(codes["tex"]))
+        else:
+            albedo = jnp.full((B, 8, 8, 3), 0.6, images.dtype)
+
+        # detail decode (DecaDetailModel with the trainable generator)
+        dm = dataclasses.replace(self.detail_model,
+                                 variables=train_params["generator"])
+        uv_detail_normals, uv_z = dm.decode(
+            pose[:, 3:], exp, codes["detail"], verts)
+        uv_shading = add_sh_light(uv_detail_normals, light)
+        S = uv_shading.shape[1]
+        alb_uv = jax.image.resize(albedo, (B, S, S, 3), "bilinear")
+        uv_texture = jnp.clip(alb_uv * uv_shading / _math.pi, 0.0, 1.0)
+
+        # detail render
+        pred = render_detailed(
+            ndc, self.flame.assets.faces, dm.uv_coords, dm.uv_faces,
+            albedo, uv_detail_normals, self.image_size, self.image_size,
+            sh_coeff=light, chunk=self.raster_chunk)
+
+        # UV-unwrapped GT + visibility (DECA.py:1115-1127)
+        def unwrap(v):
+            return world2uv(v, self.flame.assets.faces, dm.uv_coords,
+                            dm.uv_faces, dm.uv_size)
+
+        uv_pverts = jax.lax.stop_gradient(jax.vmap(unwrap)(ndc))
+        masks = batch.get("masks")
+        if masks is None:
+            masks = jnp.ones(images.shape[:3] + (1,), images.dtype)
+        img_mask = jnp.concatenate([images, masks], axis=-1)
+        uv_gt = grid_sample_bilinear(img_mask, uv_pverts[..., :2])
+        uv_texture_gt = jax.lax.stop_gradient(uv_gt[..., :3])
+        uv_mask_gt = jax.lax.stop_gradient(uv_gt[..., 3:])
+        normals = compute_vertex_normals(ndc, self.flame.assets.faces)
+        uv_pnorm = jax.lax.stop_gradient(jax.vmap(unwrap)(normals))
+        uv_mask = (uv_pnorm[..., 2:] < -0.05).astype(images.dtype)
+        uv_vis_mask = uv_mask_gt * uv_mask
+
+        terms = {
+            "photometric_detailed": photometric_loss(pred, images, masks)
+            * self.photow,
+            "z_reg": z_reg(uv_z) * self.zregw,
+            "z_diff": shading_smooth_loss(uv_shading) * self.zdiffw,
+            "z_sym": z_symmetry_loss(uv_z, uv_vis_mask) * self.zsymw,
+        }
+        idmrf = None
+        if self.use_idmrf and self.vgg_apply is not None:
+            from .deca_losses import IDMRFLoss
+
+            idmrf = IDMRFLoss()
+        terms.update(detail_patch_losses(
+            uv_texture, uv_texture_gt, uv_vis_mask, sfsw=self.sfsw,
+            patch_size=min(256, self.image_size), idmrf=idmrf,
+            vgg_apply=self.vgg_apply, mrfwr=self.mrfwr))
+        total = sum(terms.values())
+        return total, dict(terms, total=total)
+
+    def jitted_train_step(self, tx, donate: bool = True):
+        def step(train_params, opt_state, frozen, batch):
+            (loss, terms), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True)(train_params, frozen, batch)
+            updates, opt_state = tx.update(grads, opt_state, train_params)
+            train_params = optax.apply_updates(train_params, updates)
+            return train_params, opt_state, terms
+
+        kw = {"donate_argnums": (0, 1)} if donate else {}
+        return jax.jit(step, **kw)
+
+
 def train_emoca(
     trainer: EmocaTrainer,
     variables: Dict[str, Any],

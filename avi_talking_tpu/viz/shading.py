@@ -123,6 +123,42 @@ def render_textured(
     return out
 
 
+def render_detailed(
+    vertices_ndc: jax.Array,  # (B, V, 3)
+    faces: jax.Array,  # (F, 3)
+    uvs: jax.Array,  # (Tv, 2)
+    face_uvs: jax.Array,  # (F, 3)
+    texture: jax.Array,  # (B, Ht, Wt, 3) albedo
+    normal_map: jax.Array,  # (B, Hn, Wn, 3) UV-space detail normals
+    height: int = 256,
+    width: int = 256,
+    sh_coeff: Optional[jax.Array] = None,
+    background: float = 0.0,
+    chunk: int = 2048,
+) -> jax.Array:
+    """Detail render (SRenderY.forward with detail_normal_images,
+    gdl/models/DECA.py decode :1060-1100): like render_textured but per-pixel
+    normals come from the UV-space detail normal map instead of interpolated
+    vertex normals — one rasterization of the UVs feeds BOTH texture and
+    normal lookups."""
+    from ..models.pirender import grid_sample_bilinear
+
+    B = vertices_ndc.shape[0]
+    corner_uv = uvs[face_uvs]  # (F, 3, 2)
+    attrs = jnp.broadcast_to(corner_uv[None], (B,) + corner_uv.shape)
+    img, mask = rasterize_auto(vertices_ndc, faces, attrs, height, width,
+                               chunk=chunk, per_corner=True)
+    grid = img * 2.0 - 1.0
+    grid = jnp.stack([grid[..., 0], -grid[..., 1]], axis=-1)
+    albedo = grid_sample_bilinear(texture, grid)
+    n = safe_unit(grid_sample_bilinear(normal_map, grid))
+    if sh_coeff is None:
+        sh_coeff = jnp.broadcast_to(jnp.asarray(DEFAULT_LIGHT)[None], (B, 9, 3))
+    shading = add_sh_light(n, sh_coeff)
+    out = jnp.clip(albedo * shading / math.pi, 0.0, 1.0)
+    return jnp.where(mask[..., None], out, background)
+
+
 def render_shaded(
     vertices_ndc: jax.Array,  # (B, V, 3), z = depth
     faces: jax.Array,

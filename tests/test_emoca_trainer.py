@@ -78,6 +78,49 @@ def test_emoca_exp_only_freezes_coarse_tower():
     assert d_exp > 0
 
 
+def test_detail_stage_trains_generator_only():
+    """DETAIL stage (DecaDetailTrainer): one step runs, losses finite,
+    E_detail/D_detail move, frozen coarse variables untouched by
+    construction (they are inputs, not trained params)."""
+    import optax
+
+    from avi_talking_tpu.models.deca_detail import (
+        DecaDetailModel,
+        DetailGenerator,
+    )
+    from avi_talking_tpu.train.emoca_trainer import DecaDetailTrainer
+
+    assets = synthetic_assets(n_shape=8, n_exp=6, n_static_landmarks=51)
+    flame = FlameModel(assets, n_shape=8, n_exp=6)
+    t = np.asarray(assets.v_template)
+    span = t.max(0) - t.min(0) + 1e-6
+    uv = jnp.asarray(((t - t.min(0)) / span)[:, :2])
+    enc = EmocaEncoder(n_exp=6, with_detail=True, n_detail=4)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+    gen = DetailGenerator(latent_dim=3 + 6 + 4, init_size=2)
+    gvars = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 13)))
+    dm = DecaDetailModel(generator=gen, variables=gvars,
+                         faces=assets.faces, uv_coords=uv,
+                         uv_faces=assets.faces, uv_size=64)
+    trainer = DecaDetailTrainer(encoder=enc, detail_model=dm, flame=flame,
+                                image_size=S, raster_chunk=256)
+    rng = np.random.default_rng(3)
+    batch = _batch(rng)
+    train_params = {"detail": variables["params"]["detail"],
+                    "generator": gvars}
+    tx = optax.adam(1e-3)
+    step = trainer.jitted_train_step(tx, donate=False)
+    new_tp, _, terms = step(train_params, tx.init(train_params), variables,
+                            batch)
+    for k in ("photometric_detailed", "z_reg", "z_diff", "z_sym",
+              "detail_l1_0", "total"):
+        assert k in terms and np.isfinite(float(terms[k])), (k, terms.get(k))
+    moved = jax.tree.reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()),
+        jax.tree.map(lambda a, b: a - b, new_tp, train_params), 0.0)
+    assert moved > 0
+
+
 @pytest.mark.slow
 def test_emoca_overfit_tiny():
     """Loss decreases substantially when overfitting one fixed batch."""
