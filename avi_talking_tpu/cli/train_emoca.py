@@ -148,10 +148,35 @@ def cmd_train_emoca(args) -> int:
                              "detail": train_params},
                "metrics": {k: float(v) for k, v in terms.items()}}
     else:
+        emonet = emonet_vars = None
+        if args.emo_loss:
+            # EMOCA's emotion-consistency loss through a frozen EmoNet
+            from ..models.emoca import EmoNetLoss, EmotionRecognitionModule
+
+            emo_mod = EmotionRecognitionModule(n_expression=8)
+            if args.emonet_checkpoint:
+                import torch as _torch
+
+                from ..models.emoca import emotion_module_params_from_torch
+
+                sd = _torch.load(args.emonet_checkpoint, map_location="cpu",
+                                 weights_only=False)
+                if isinstance(sd, dict) and "state_dict" in sd:
+                    sd = sd["state_dict"]
+                emonet_vars = emotion_module_params_from_torch(sd)
+            else:
+                emonet_vars = emo_mod.init(jax.random.PRNGKey(9),
+                                           jnp.zeros((1, S, S, 3)))
+                print("train-emoca: no --emonet-checkpoint; the frozen "
+                      "EmoNet is RANDOM-init (smoke semantics)",
+                      file=sys.stderr)
+            emonet = EmoNetLoss(emo_mod)
         trainer = EmocaTrainer(
             encoder=enc, flame=flame, uv_coords=uv_coords, uv_faces=uv_faces,
-            flame_tex=ftex, image_size=S, weights=DecaLossWeights(),
-            train_exp_only=args.exp_only)
+            flame_tex=ftex, image_size=S,
+            weights=DecaLossWeights(emonet=1.0 if args.emo_loss else 0.0),
+            train_exp_only=args.exp_only,
+            emonet=emonet, emonet_variables=emonet_vars)
         res = train_emoca(trainer, variables, batches(), steps=args.steps,
                           lr=args.lr, log_every=args.log_every)
     if args.ckpt_dir:
@@ -254,6 +279,12 @@ def register(sub, common):
     tm.add_argument("--detail", action="store_true",
                     help="DETAIL stage: train E_detail + D_detail with the "
                          "displacement losses (frozen coarse pipeline)")
+    tm.add_argument("--emo-loss", action="store_true",
+                    help="EMOCA emotion-consistency loss through a frozen "
+                         "EmoNet (use_emonet_loss)")
+    tm.add_argument("--emonet-checkpoint", default=None,
+                    help="torch EmotionRecognition ckpt for the frozen "
+                         "EmoNet tower (random-init without it)")
     tm.add_argument("--uv-obj", default=None,
                     help="head_template.obj for real FLAME UVs")
     tm.add_argument("--tex-npz", default=None,

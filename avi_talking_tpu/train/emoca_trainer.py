@@ -48,6 +48,12 @@ class EmocaTrainer:
     weights: DecaLossWeights = dataclasses.field(default_factory=DecaLossWeights)
     train_exp_only: bool = False
     raster_chunk: int = 2048
+    # EMOCA's defining addition over DECA: emotion consistency between the
+    # input image and the render through a frozen EmoNet
+    # (DECA.py:1221-1226 _compute_emonet_loss_wrapper; weights.emonet
+    # gates it — EMOCA cfg use_emonet_loss)
+    emonet: Optional[object] = None  # models.emoca.EmoNetLoss
+    emonet_variables: Optional[Dict] = None
 
     # -- decode ------------------------------------------------------------
 
@@ -109,6 +115,11 @@ class EmocaTrainer:
         codedict.update(
             images=batch["images"], lmk=batch["lmk"], masks=masks)
         terms = coarse_losses(codedict, self.weights)
+        if self.emonet is not None and self.weights.emonet:
+            emo_loss, _ = self.emonet(
+                self.emonet_variables, codedict["predicted_images"],
+                batch["images"])
+            terms["emotion"] = emo_loss * self.weights.emonet
         total = sum(terms.values())
         return total, terms
 

@@ -78,6 +78,31 @@ def test_emoca_exp_only_freezes_coarse_tower():
     assert d_exp > 0
 
 
+def test_emoca_emotion_consistency_term():
+    """EMOCA's defining loss: with a frozen EmoNet attached, the coarse
+    loss dict grows an `emotion` term (DECA.py:1221-1226) and it carries
+    gradient to the encoder."""
+    from avi_talking_tpu.models.emoca import (
+        EmoNetLoss,
+        EmotionRecognitionModule,
+    )
+
+    trainer, variables = _make_trainer(emonet=1.0)
+    emo_mod = EmotionRecognitionModule(n_expression=8)
+    emo_vars = emo_mod.init(jax.random.PRNGKey(5), jnp.zeros((1, S, S, 3)))
+    trainer.emonet = EmoNetLoss(emo_mod)
+    trainer.emonet_variables = emo_vars
+    rng = np.random.default_rng(4)
+    params = variables["params"]
+    static = {k: v for k, v in variables.items() if k != "params"}
+    total, terms = trainer.loss_fn(params, static, _batch(rng))
+    assert "emotion" in terms and np.isfinite(float(terms["emotion"]))
+    g = jax.grad(lambda p: trainer.loss_fn(p, static, _batch(rng))[0])(params)
+    gnorm = jax.tree.reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_detail_stage_trains_generator_only():
     """DETAIL stage (DecaDetailTrainer): one step runs, losses finite,
     E_detail/D_detail move, frozen coarse variables untouched by
