@@ -65,7 +65,13 @@ def cmd_train_emoca(args) -> int:
     if args.root:
         from ..viz.pngio import read_image_normalized
 
-        paths = sorted(glob.glob(os.path.join(args.root, "*.png")))
+        if os.path.isdir(os.path.join(args.root, "EMOCA_v2_lr_mse_20")):
+            # an EMOCA-preprocessed clip dir (preprocess-mead output):
+            # detections crops + the exported pseudo landmarks
+            paths = sorted(glob.glob(
+                os.path.join(args.root, "detections", "*.png")))
+        else:
+            paths = sorted(glob.glob(os.path.join(args.root, "*.png")))
         if not paths:
             raise SystemExit(f"no PNG frames under {args.root}")
         imgs = np.stack([read_image_normalized(p) for p in paths]) * 0.5 + 0.5
@@ -227,6 +233,18 @@ def cmd_preprocess_mead(args) -> int:
 
     pre = EmocaPreprocessor(encoder=enc, variables=variables,
                             max_b=args.max_b)
+    flame = None
+    if args.tiny or args.flame_npz:
+        from ..core import FlameModel, synthetic_assets
+        from ..core.assets import load_flame_assets
+
+        if args.tiny:
+            assets = synthetic_assets(n_shape=8, n_exp=6,
+                                      n_static_landmarks=51)
+            flame = FlameModel(assets, n_shape=8, n_exp=6)
+        else:
+            flame = FlameModel(load_flame_assets(args.flame_npz, 100, 50),
+                               n_shape=100, n_exp=50)
     clips = sorted(
         d for d in os.listdir(args.src)
         if os.path.isdir(os.path.join(args.src, d)))
@@ -234,7 +252,7 @@ def cmd_preprocess_mead(args) -> int:
     for clip in clips:
         out = preprocess_clip_folder(
             pre, os.path.join(args.src, clip), args.out,
-            write_detections=not args.no_detections)
+            write_detections=not args.no_detections, flame=flame)
         if out:
             done += 1
             print(f"[{done}/{len(clips)}] {clip} -> {out}")
@@ -257,6 +275,9 @@ def register(sub, common):
                     help="frames per jitted encoder dispatch")
     pm.add_argument("--no-detections", action="store_true",
                     help="skip writing detections/*.png crops")
+    pm.add_argument("--flame-npz", default=None,
+                    help="FLAME assets: also export pseudo landmarks.npy "
+                         "per clip (train-emoca --root fine-tune source)")
     pm.add_argument("--tiny", action="store_true")
     pm.set_defaults(fn=cmd_preprocess_mead)
 

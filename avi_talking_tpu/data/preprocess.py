@@ -90,6 +90,42 @@ class EmocaPreprocessor:
         return codes
 
 
+def landmarks_from_codes(
+    flame, codes: Dict[str, np.ndarray], chunk: int = 32
+) -> np.ndarray:
+    """Pseudo 2D landmarks from the encoded codes: FLAME 68-point decode +
+    weak-perspective projection with the predicted cam (DECA.decode
+    landmark path, gdl/models/DECA.py:970-973). (T, 68, 2) in [-1, 1] NDC —
+    consistent with the encoder, so train-emoca can fine-tune on
+    preprocess-mead output without an external detector."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.projection import batch_orth_proj
+
+    @jax.jit
+    def proj(shape, exp, pose, cam):
+        _, lmk2d, _ = flame(shape[:, : flame.n_shape],
+                            exp[:, : flame.n_exp], pose)
+        p = batch_orth_proj(lmk2d, cam)[..., :2]
+        return jnp.stack([p[..., 0], -p[..., 1]], axis=-1)
+
+    T = codes["exp"].shape[0]
+    outs = []
+    for i in range(0, T, chunk):
+        n = min(chunk, T - i)
+        sl = slice(i, i + n)
+        pad = chunk - n
+        args = []
+        for key in ("shape", "exp", "pose", "cam"):
+            a = codes[key][sl]
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            args.append(jnp.asarray(a))
+        outs.append(np.asarray(proj(*args))[:n])
+    return np.concatenate(outs).astype(np.float32)
+
+
 def write_emoca_folders(
     clip_dir: str,
     codes: Dict[str, np.ndarray],
@@ -129,6 +165,7 @@ def preprocess_clip_folder(
     src_dir: str,  # folder of PNG frames (+ optional <name>.wav, validity.npy)
     out_dir: str,
     write_detections: bool = True,
+    flame=None,  # core.flame.FlameModel: also export landmarks.npy
 ) -> Optional[str]:
     """One raw clip folder -> one EMOCA-preprocessed clip folder."""
     import glob
@@ -146,7 +183,11 @@ def preprocess_clip_folder(
     codes = pre.pseudo_gt(frames, validity)
     name = os.path.basename(src_dir.rstrip("/"))
     wavs = glob.glob(os.path.join(src_dir, "*.wav"))
-    return write_emoca_folders(
+    clip_dir = write_emoca_folders(
         os.path.join(out_dir, name), codes,
         wav_src=wavs[0] if wavs else None,
         detections=frames if write_detections else None)
+    if flame is not None:
+        lmk = landmarks_from_codes(flame, codes, chunk=pre.max_b)
+        np.save(os.path.join(clip_dir, "landmarks.npy"), lmk)
+    return clip_dir

@@ -146,6 +146,34 @@ def test_detail_stage_trains_generator_only():
     assert moved > 0
 
 
+def test_train_emoca_cli_on_folder(tmp_path):
+    """cli train-emoca --root: PNG frames + landmarks.npy in, steps run,
+    checkpoint out."""
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.viz.pngio import write_png
+
+    rng = np.random.default_rng(6)
+    root = tmp_path / "frames"
+    root.mkdir()
+    for t in range(3):
+        write_png(str(root / f"{t:03d}.png"),
+                  (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8))
+    np.save(str(root / "landmarks.npy"),
+            rng.uniform(-0.8, 0.8, (3, 68, 2)).astype(np.float32))
+    rc = main(["train-emoca", "--tiny", "--size", "32", "--batch-size", "2",
+               "--steps", "2", "--log-every", "0", "--root", str(root),
+               "--ckpt-dir", str(tmp_path / "ck")])
+    assert rc == 0 and (tmp_path / "ck").is_dir()
+    # missing landmarks fail loudly, not silently
+    bad = tmp_path / "nolmk"
+    bad.mkdir()
+    write_png(str(bad / "0.png"),
+              (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8))
+    with pytest.raises(SystemExit):
+        main(["train-emoca", "--tiny", "--size", "32", "--steps", "1",
+              "--root", str(bad)])
+
+
 @pytest.mark.slow
 def test_emoca_overfit_tiny():
     """Loss decreases substantially when overfitting one fixed batch."""

@@ -78,3 +78,28 @@ def test_preprocess_mead_cli_roundtrip(tmp_path):
     assert item["coeff"].shape == (2, 59)
     assert np.isfinite(item["coeff"]).all()
     assert item["audio"].shape[0] == 2 * 640
+
+
+
+def test_preprocess_landmark_export_feeds_train_emoca(tmp_path):
+    """--tiny preprocess exports FLAME-projected pseudo landmarks -> the
+    clip dir feeds train-emoca --root directly (no external detector)."""
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.viz.pngio import write_png
+
+    src = tmp_path / "raw" / "clipA"
+    src.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    for t in range(3):
+        write_png(str(src / f"{t:04d}.png"),
+                  (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8))
+    out = tmp_path / "emoca"
+    rc = main(["preprocess-mead", "--src", str(tmp_path / "raw"),
+               "--out", str(out), "--size", "32", "--max-b", "2", "--tiny"])
+    assert rc == 0
+    clip = out / "clipA"
+    lmk = np.load(str(clip / "landmarks.npy"))
+    assert lmk.shape == (3, 68, 2) and np.isfinite(lmk).all()
+    rc = main(["train-emoca", "--tiny", "--size", "32", "--batch-size", "2",
+               "--steps", "1", "--log-every", "0", "--root", str(clip)])
+    assert rc == 0
