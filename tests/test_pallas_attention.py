@@ -267,6 +267,47 @@ def test_keybias_attention_matches_xla_and_grads():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_keybias_head_batching_policy_and_parity():
+    """Head-batched grid steps: small-T shapes fuse several heads per Pallas
+    grid step (amortising step overhead), the measured-win big shapes keep
+    hb=1 so r2/r3 numbers are unchanged; parity holds when hb > 1 and heads
+    within one step never span batch elements (per-batch key bias)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avi_talking_tpu.ops.pallas.attention import (
+        _keybias_heads_per_step, fused_keybias_attention)
+
+    # policy: small serving shape batches heads; measured-win shapes don't
+    assert _keybias_heads_per_step(12, 200, 200, 64) > 1
+    assert _keybias_heads_per_step(12, 552, 552, 64) == 1
+    assert _keybias_heads_per_step(8, 608, 608, 64) == 1
+    for H in (3, 4, 8, 12):
+        for T in (17, 50, 200):
+            hb = _keybias_heads_per_step(H, T, T, 64)
+            assert 1 <= hb <= H and H % hb == 0
+
+    # parity at an hb>1 shape with DISTINCT per-batch masks (catches any
+    # kb-to-step misalignment when several heads share one grid step)
+    B, H, T, d = 3, 4, 24, 8
+    assert _keybias_heads_per_step(H, T, T, d) == 4
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    kb = jnp.asarray(
+        np.where(np.arange(T)[None] < np.array([8, 16, 24])[:, None],
+                 0.0, -1e9).astype(np.float32))
+    ref = jnp.einsum(
+        "bhts,bhsd->bhtd",
+        jax.nn.softmax(jnp.einsum("bhtd,bhsd->bhts", q, k)
+                       + kb[:, None, None, :], -1), v)
+    out = fused_keybias_attention(q, k, v, kb, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_encoder_layer_pallas_path_matches_xla(monkeypatch):
     """EncoderLayer with the Pallas fast path forced on (interpret) equals
     the XLA path, with and without a (B,1,1,S) padding bias."""
