@@ -7,6 +7,30 @@ import os
 import sys
 
 
+def _discover_tokenizer():
+    """Locate a usable tokenizer vocab for freshly-imported real prior
+    weights: the normal discovery chain first, then a one-shot vendoring of
+    any CLIP snapshot in the user's HF cache (reference loads weights and
+    tokenizer together, models/diffusion_prior.py:36-44). Returns the vocab
+    dir or None."""
+    from pathlib import Path
+
+    from ..text import find_tokenizer_assets
+    from ..text.clip_bpe import import_tokenizer_assets
+
+    found = find_tokenizer_assets()
+    if found is not None:
+        return found
+    hf = Path(os.environ.get("HF_HOME",
+                             Path.home() / ".cache" / "huggingface"))
+    try:
+        dest = import_tokenizer_assets(hf)
+        print(f"vendored CLIP tokenizer from the HF cache -> {dest}")
+        return dest
+    except (FileNotFoundError, ValueError):
+        return None
+
+
 def cmd_import_prior(args) -> int:
     """Reference diffusion-prior .pth (last/best) -> orbax checkpoint with
     {"brain", "prior"} variables ready for the pipeline."""
@@ -18,31 +42,15 @@ def cmd_import_prior(args) -> int:
     save_checkpoint(os.path.abspath(args.out), variables)
     n = sum(x.size for x in jax.tree.leaves(variables))
     print(f"imported {n:,} prior params -> {args.out}")
-    # real prior weights need the REAL tokenizer; pull it from the user's
-    # HF cache alongside the weights when the asset slot is still empty
-    # (reference loads both together, diffusion_prior.py:36-44)
-    from ..text import find_tokenizer_assets
-
-    if find_tokenizer_assets() is None:
-        import os as _os
-        from pathlib import Path as _Path
-
-        from ..text.clip_bpe import import_tokenizer_assets
-
-        hf = _Path(_os.environ.get("HF_HOME",
-                                   _Path.home() / ".cache" / "huggingface"))
-        try:
-            dest = import_tokenizer_assets(hf)
-            print(f"vendored CLIP tokenizer from the HF cache -> {dest}")
-        except (FileNotFoundError, ValueError):
-            # error, not warning: real prior weights + a non-CLIP tokenizer
-            # produce garbage ids (reference loads both together,
-            # models/diffusion_prior.py:36-44)
-            raise SystemExit(
-                "import-prior: real prior weights imported but no CLIP "
-                "tokenizer vocab found. Run `import-clip --src <dir with "
-                "vocab.json+merges.txt>` first (the orbax checkpoint was "
-                "written; it will refuse to serve until the vocab exists).")
+    if _discover_tokenizer() is None:
+        # error, not warning: real prior weights + a non-CLIP tokenizer
+        # produce garbage ids (reference loads both together,
+        # models/diffusion_prior.py:36-44)
+        raise SystemExit(
+            "import-prior: real prior weights imported but no CLIP "
+            "tokenizer vocab found. Run `import-clip --src <dir with "
+            "vocab.json+merges.txt>` first (the orbax checkpoint was "
+            "written; it will refuse to serve until the vocab exists).")
     return 0
 
 

@@ -131,20 +131,32 @@ def test_import_prior_checkpoint(tmp_path):
     assert np.isfinite(np.asarray(pred)).all()
 
 
-def test_cli_import_prior(tmp_path):
+def _write_reference_pth(tmp_path):
+    sd = {}
+    sd.update({f"voxel2clip.{k}": v for k, v in _brain_sd().items()})
+    sd.update({f"net.{k}": v for k, v in _prior_sd().items()})
+    path = str(tmp_path / "last.pth")
+    torch.save({"epoch": 1, "model_state_dict": sd}, path)
+    return path
+
+
+def test_cli_import_prior(tmp_path, monkeypatch):
     """`cli import-prior` converts a reference-layout .pth into an orbax
-    checkpoint that restores to the same variables."""
+    checkpoint that restores to the same variables. A tokenizer vocab is
+    made discoverable (env var) so the real-weights-need-real-vocab guard
+    stays quiet — the guard itself is covered below."""
+    import pathlib
+
+    import avi_talking_tpu.text as _text
     from avi_talking_tpu.cli import main
     from avi_talking_tpu.infra.checkpoint import (
         import_prior_checkpoint,
         restore_checkpoint,
     )
 
-    sd = {}
-    sd.update({f"voxel2clip.{k}": v for k, v in _brain_sd().items()})
-    sd.update({f"net.{k}": v for k, v in _prior_sd().items()})
-    path = str(tmp_path / "last.pth")
-    torch.save({"epoch": 1, "model_state_dict": sd}, path)
+    vocab_dir = pathlib.Path(_text.__file__).parent / "default_vocab"
+    monkeypatch.setenv("AVI_TALKING_CLIP_TOKENIZER", str(vocab_dir))
+    path = _write_reference_pth(tmp_path)
     out = str(tmp_path / "orbax")
     assert main(["import-prior", "--pth", path, "--out", out]) == 0
     ref = import_prior_checkpoint(path)
@@ -153,3 +165,30 @@ def test_cli_import_prior(tmp_path):
 
     for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cli_import_prior_requires_vocab(tmp_path, monkeypatch):
+    """Without any discoverable CLIP vocab (env/assets/HF cache all severed)
+    import-prior still WRITES the checkpoint but exits nonzero with the
+    import-clip instruction — real prior weights + a non-CLIP tokenizer
+    produce garbage ids (reference models/diffusion_prior.py:36-44)."""
+    import pytest
+
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.infra.checkpoint import (
+        import_prior_checkpoint,
+        restore_checkpoint,
+    )
+
+    monkeypatch.delenv("AVI_TALKING_CLIP_TOKENIZER", raising=False)
+    monkeypatch.setattr(
+        "avi_talking_tpu.cli.importers._discover_tokenizer",
+        lambda: None)
+    path = _write_reference_pth(tmp_path)
+    out = str(tmp_path / "orbax")
+    with pytest.raises(SystemExit, match="import-clip"):
+        main(["import-prior", "--pth", path, "--out", out])
+    # the orbax checkpoint was written before the guard fired
+    ref = import_prior_checkpoint(path)
+    got = restore_checkpoint(out, target=ref)
+    assert len(jax.tree.leaves(got)) == len(jax.tree.leaves(ref))
