@@ -364,6 +364,20 @@ def main():
     _emit("attn_encoder_xla_ms", round(t_xa, 3), "ms")
     _emit("attn_encoder_pallas_ms", round(t_pa, 3), "ms", round(t_xa / t_pa, 2))
 
+    # flagship serving shape (B=4 T=200): the head-batched grid's target —
+    # r3 lost this one whole-model 8.7 vs 8.2 ms (VERDICT #8)
+    Bs, Ts = 4, 200
+    qs = jnp.asarray(arng.standard_normal((Bs, Ha, Ts, da)), dtype) / (da ** 0.5)
+    ks = jnp.asarray(arng.standard_normal((Bs, Ha, Ts, da)), dtype)
+    vs = jnp.asarray(arng.standard_normal((Bs, Ha, Ts, da)), dtype)
+    kbs = jnp.asarray(
+        np.where(np.arange(Ts)[None] < arng.integers(Ts // 2, Ts, Bs)[:, None],
+                 0.0, -1e9).astype(np.float32))
+    t_xs = t_fn(lambda: xla_attn(qs, ks, vs, kbs), n=100)
+    t_ps = t_fn(lambda: fused_keybias_attention(qs, ks, vs, kbs), n=100)
+    _emit("attn_serving_xla_ms", round(t_xs, 3), "ms")
+    _emit("attn_serving_pallas_ms", round(t_ps, 3), "ms", round(t_xs / t_ps, 2))
+
     # ---- Pallas rasterizer vs XLA binned (render-loss hot path) ----------
     from avi_talking_tpu.core.projection import batch_orth_proj
     from avi_talking_tpu.viz.rasterizer import (
