@@ -175,8 +175,8 @@ class MeadEmocaDataset:
             if "_neutral_" in base:
                 ident = base.split("_")[0]
                 self._neutral_by_id.setdefault(ident, clip["name"])
-        if self.stats is None:
-            self.stats = CoeffStats.identity(59)
+        # stats default to identity, sized lazily from the first coeff so
+        # non-standard code dims (e.g. tiny preprocess-mead output) load too
 
     def __len__(self) -> int:
         return len(self.index)
@@ -215,6 +215,8 @@ class MeadEmocaDataset:
             if codes["pose"].shape[0] > 15:
                 codes["pose"][:, :3] = butter_lowpass_filtfilt(codes["pose"][:, :3])
         coeff = self._raw_coeff(codes)
+        if self.stats is None:
+            self.stats = CoeffStats.identity(coeff.shape[-1])
         T = coeff.shape[0]
 
         L = min(self.seq_length, T)

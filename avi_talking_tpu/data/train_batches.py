@@ -111,12 +111,13 @@ class EmoteBatchBuilder:
     def __getitem__(self, k: int) -> Dict[str, np.ndarray]:
         item = self.ds[self.valid[k]]
         T = self.frames
-        coeff = self.ds.stats.denormalize(item["coeff"])  # (L, 59) raw
+        coeff = self.ds.stats.denormalize(item["coeff"])  # (L, E+9) raw
         L = coeff.shape[0]
+        E = coeff.shape[-1] - 9  # layout: [exp(E), jaw3, glob_rot3, cam3]
         gt_exp = np.zeros((T, self.n_exp), np.float32)
-        gt_exp[:L] = self._fit(coeff[:, :50], self.n_exp)
+        gt_exp[:L] = self._fit(coeff[:, :E], self.n_exp)
         gt_jaw = np.zeros((T, 3), np.float32)
-        gt_jaw[:L] = coeff[:, 50:53]
+        gt_jaw[:L] = coeff[:, E : E + 3]
         audio = np.zeros((T, 640), np.float32)
         audio[:L] = np.asarray(item["audio"], np.float32).reshape(-1, 640)[:L]
         mask = np.zeros((T,), np.float32)

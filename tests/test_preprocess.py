@@ -5,6 +5,8 @@ MeadEmocaDataset (reference Preprocessors.py:330-489 semantics)."""
 import os
 import wave
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,6 +81,75 @@ def test_preprocess_mead_cli_roundtrip(tmp_path):
     assert np.isfinite(item["coeff"]).all()
     assert item["audio"].shape[0] == 2 * 640
 
+
+
+def test_batch_builder_handles_tiny_code_dims(tmp_path):
+    """EmoteBatchBuilder derives the coeff layout from its width (exp dim =
+    width - 9), so tiny preprocess output (6-exp codes) yields the right
+    jaw slice instead of the 50-exp hardcode (fast sibling of the e2e
+    chain test below)."""
+    from avi_talking_tpu.data import MeadEmocaDataset
+    from avi_talking_tpu.data.train_batches import EmoteBatchBuilder
+
+    name = "M003_front_happy_level2_001"
+    clip = tmp_path / name
+    fdir = clip / "EMOCA_v2_lr_mse_20"
+    rng = np.random.default_rng(3)
+    T = 4
+    for t in range(T):
+        d = fdir / f"{t:05d}_000"
+        d.mkdir(parents=True)
+        np.save(str(d / "exp.npy"), rng.standard_normal(6).astype(np.float32))
+        np.save(str(d / "pose.npy"),
+                rng.standard_normal(6).astype(np.float32))
+        np.save(str(d / "shape.npy"),
+                rng.standard_normal(8).astype(np.float32))
+        np.save(str(d / "cam.npy"), rng.standard_normal(3).astype(np.float32))
+    _write_wav(str(clip / f"{name}.wav"), n=T * 640)
+
+    ds = MeadEmocaDataset(root=str(tmp_path), seq_length=T, split="val",
+                          smooth_pose=False)
+    builder = EmoteBatchBuilder(ds, frames=T, n_exp=6, n_shape=8)
+    assert len(builder) == 1
+    item = builder[0]
+    # jaw = pose[:, 3:6] of the written codes, exp = the 6-d exp codes
+    codes = np.stack([
+        np.load(str(fdir / f"{t:05d}_000" / "pose.npy")) for t in range(T)])
+    exps = np.stack([
+        np.load(str(fdir / f"{t:05d}_000" / "exp.npy")) for t in range(T)])
+    np.testing.assert_allclose(item["gt_jaw"], codes[:, 3:6], atol=1e-5)
+    np.testing.assert_allclose(item["gt_exp"], exps, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_preprocess_feeds_train_emote_end_to_end(tmp_path):
+    """The full in-framework data story: raw MEAD-named frame folders + wavs
+    -> `preprocess-mead` pseudo-GT layout -> `train-emote --root` runs its
+    staged loop on the produced clips (reference: MEADDataModule offline
+    pass feeding inferno's TalkingHead training app)."""
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.viz.pngio import write_png
+
+    rng = np.random.default_rng(7)
+    frames = 8  # multiple of the tiny FLINT latent_frame_size (4)
+    for name in ("M003_front_happy_level2_001",
+                 "M005_front_angry_level3_001"):
+        src = tmp_path / "raw" / name
+        src.mkdir(parents=True)
+        for t in range(frames):
+            write_png(str(src / f"{t:04d}.png"),
+                      (rng.uniform(0, 1, (16, 16, 3)) * 255).astype(np.uint8))
+        _write_wav(str(src / f"{name}.wav"), n=frames * 640)
+
+    out = tmp_path / "emoca"
+    rc = main(["preprocess-mead", "--src", str(tmp_path / "raw"),
+               "--out", str(out), "--size", "16", "--max-b", "4", "--tiny"])
+    assert rc == 0
+
+    rc = main(["train-emote", "--tiny", "--root", str(out),
+               "--steps", "1", "--batch-size", "2", "--frames", str(frames),
+               "--val-fraction", "0.5", "--val-every", "1"])
+    assert rc == 0
 
 
 def test_preprocess_landmark_export_feeds_train_emoca(tmp_path):
