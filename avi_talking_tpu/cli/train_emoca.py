@@ -74,27 +74,39 @@ def cmd_train_emoca(args) -> int:
             paths = sorted(glob.glob(os.path.join(args.root, "*.png")))
         if not paths:
             raise SystemExit(f"no PNG frames under {args.root}")
-        imgs = np.stack([read_image_normalized(p) for p in paths]) * 0.5 + 0.5
-        if imgs.shape[1] != S:
-            imgs = np.asarray(jax.image.resize(
-                jnp.asarray(imgs), (imgs.shape[0], S, S, 3), "bilinear"))
         lmk_path = args.lmk_npy or os.path.join(args.root, "landmarks.npy")
-        if not os.path.exists(lmk_path):
+        lmk = None
+        if os.path.exists(lmk_path):
+            lmk = np.load(lmk_path).astype(np.float32)  # (N, 68, 2), [-1,1]
+            if lmk.shape[0] != len(paths):
+                raise SystemExit(
+                    f"landmarks ({lmk.shape[0]}) != frames ({len(paths)})")
+        elif not args.detail:
+            # the detail stage is supervised purely photometrically
+            # (DECA.py:2033-2210) and never reads landmarks
             raise SystemExit(
                 f"train-emoca needs 68-point landmarks ({lmk_path}); run a "
                 "detector offline or export from the EMOCA folders")
-        lmk = np.load(lmk_path).astype(np.float32)  # (N, 68, 2) in [-1, 1]
-        if lmk.shape[0] != imgs.shape[0]:
-            raise SystemExit(
-                f"landmarks ({lmk.shape[0]}) != frames ({imgs.shape[0]})")
         rng = np.random.default_rng(args.seed)
+
+        def _load(idx):
+            # decode per batch (not the whole folder up front): bounds host
+            # memory at batch size for realistic clip sets
+            imgs = np.stack(
+                [read_image_normalized(paths[j]) for j in idx]) * 0.5 + 0.5
+            if imgs.shape[1] != S:
+                imgs = np.asarray(jax.image.resize(
+                    jnp.asarray(imgs), (len(idx), S, S, 3), "bilinear"))
+            return imgs
 
         def batches():
             while True:
-                idx = rng.integers(0, imgs.shape[0], size=B)
-                yield {"images": jnp.asarray(imgs[idx]),
-                       "lmk": jnp.asarray(lmk[idx])}
-        print(f"data root: {imgs.shape[0]} frames")
+                idx = rng.integers(0, len(paths), size=B)
+                b = {"images": jnp.asarray(_load(idx))}
+                if lmk is not None:
+                    b["lmk"] = jnp.asarray(lmk[idx])
+                yield b
+        print(f"data root: {len(paths)} frames (per-batch decode)")
     else:
         rng = np.random.default_rng(args.seed)
         print("train-emoca: no --root; synthetic image batches (smoke)",

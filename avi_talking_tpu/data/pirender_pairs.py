@@ -31,7 +31,12 @@ from .mead import MeadEmocaDataset
 
 
 def obtain_seq_index(index: int, num_frames: int, radius: int) -> List[int]:
-    """Edge-clamped window indices (vox_dataset.py:127-130)."""
+    """Edge-clamped window indices (vox_dataset.py:127-130).
+
+    Host-side numpy twin of the traced versions in
+    ``train.render_loss.obtain_seq_index`` / ``pipeline.portrait.
+    semantic_windows`` (same semantics, pinned by their shared tests); kept
+    separate so the data layer never dispatches jax ops per sample."""
     return [min(max(i, 0), num_frames - 1)
             for i in range(index - radius, index + radius + 1)]
 
@@ -114,6 +119,8 @@ class VideoPairDataset:
             self._rng.integers(0, len(self._by_person[person]))]
         T = min(len(self.clips[k]["images"]),
                 self._semantics(k).shape[0])
+        # with replacement (s may equal t), matching the reference's
+        # random.choices(range(num_frame), k=2) at vox_dataset.py:110
         s, t = self._rng.integers(0, T, size=2)
         if self.cross_id and len(self.person_ids) > 1:
             other = person
@@ -122,14 +129,19 @@ class VideoPairDataset:
                     self._rng.integers(0, len(self.person_ids))]
             ks = self._by_person[other][
                 self._rng.integers(0, len(self._by_person[other]))]
-            src_img = self._image(ks, 0)  # first frame, vox_video_dataset:33
+            # first frame of the OTHER identity's clip; its semantics must
+            # describe that frame, not the target person's clip
+            # (vox_video_dataset.py:32-35)
+            src_img = self._image(ks, 0)
+            src_sem = self._window(ks, 0)
         else:
             src_img = self._image(k, int(s))
+            src_sem = self._window(k, int(s))
         return {
             "input_image": src_img,
             "target_image": self._image(k, int(t)),
             "coeff_window": self._window(k, int(t)),
-            "source_semantics": self._window(k, int(s)),
+            "source_semantics": src_sem,
         }
 
     def batches(self, batch_size: int,

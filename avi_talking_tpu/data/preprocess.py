@@ -63,10 +63,12 @@ class EmocaPreprocessor:
         self,
         frames: np.ndarray,  # (T, H, W, 3) in [0, 1]
         landmark_validity: Optional[np.ndarray] = None,  # (T,)
+        codes: Optional[Dict[str, np.ndarray]] = None,  # precomputed encode
     ) -> Dict[str, np.ndarray]:
         """EmocaPreprocessor.forward semantics (Preprocessors.py:405-489):
-        zero global pose, landmark-validity-weighted average shape."""
-        codes = self.encode_frames(frames)
+        zero global pose, landmark-validity-weighted average shape. Pass
+        ``codes`` (from ``encode_frames``) to avoid a second encoder pass."""
+        codes = dict(self.encode_frames(frames) if codes is None else codes)
         T = frames.shape[0]
         if not self.with_global_pose:
             codes["pose"] = codes["pose"].copy()
@@ -180,7 +182,8 @@ def preprocess_clip_folder(
     vp = os.path.join(src_dir, "validity.npy")
     if os.path.exists(vp):
         validity = np.load(vp).astype(np.float32)
-    codes = pre.pseudo_gt(frames, validity)
+    raw = pre.encode_frames(frames)
+    codes = pre.pseudo_gt(frames, validity, codes=raw)
     name = os.path.basename(src_dir.rstrip("/"))
     wavs = glob.glob(os.path.join(src_dir, "*.wav"))
     clip_dir = write_emoca_folders(
@@ -188,6 +191,11 @@ def preprocess_clip_folder(
         wav_src=wavs[0] if wavs else None,
         detections=frames if write_detections else None)
     if flame is not None:
-        lmk = landmarks_from_codes(flame, codes, chunk=pre.max_b)
+        # project with the UNzeroed global rotation so the exported
+        # landmarks lie on the face in the exported crops (the pseudo-GT
+        # pose is frontalized, the images are not); shape stays the
+        # validity-averaged code
+        lmk = landmarks_from_codes(
+            flame, {**codes, "pose": raw["pose"]}, chunk=pre.max_b)
         np.save(os.path.join(clip_dir, "landmarks.npy"), lmk)
     return clip_dir

@@ -167,11 +167,18 @@ def test_train_emoca_cli_on_folder(tmp_path):
     # missing landmarks fail loudly, not silently
     bad = tmp_path / "nolmk"
     bad.mkdir()
-    write_png(str(bad / "0.png"),
-              (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8))
+    for t in range(2):
+        write_png(str(bad / f"{t}.png"),
+                  (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8))
     with pytest.raises(SystemExit):
         main(["train-emoca", "--tiny", "--size", "32", "--steps", "1",
               "--root", str(bad)])
+    # ... but the DETAIL stage is purely photometric and must accept a
+    # plain crop folder with no landmarks
+    rc = main(["train-emoca", "--tiny", "--size", "32", "--batch-size", "2",
+               "--steps", "1", "--log-every", "0", "--detail",
+               "--root", str(bad)])
+    assert rc == 0
 
 
 @pytest.mark.slow

@@ -61,7 +61,13 @@ def test_cross_id_uses_other_identity(tmp_path):
     # source image matches some clip's frame 0 crop
     s = ds.sample()
     frame0s = [ds._image(k, 0) for k in range(len(ds))]
-    assert any(np.allclose(s["input_image"], f0) for f0 in frame0s)
+    src_k = [k for k in range(len(ds))
+             if np.allclose(s["input_image"], frame0s[k])]
+    assert src_k, "cross source must be some clip's frame 0"
+    # source_semantics must describe the SOURCE image (other identity's
+    # clip at frame 0), not the target person's clip
+    np.testing.assert_allclose(s["source_semantics"],
+                               ds._window(src_k[0], 0))
 
 
 def test_train_pirender_cli_on_fixture(tmp_path):

@@ -44,6 +44,41 @@ def test_pseudo_gt_shape_average_and_zero_pose():
     # chunked encode (max_b=3 with a padded tail) == one-shot encode
     one = np.asarray(enc.apply(variables, jnp.asarray(frames), train=False)["exp"])
     assert np.allclose(raw["exp"], one, atol=1e-5)
+    # pseudo_gt with precomputed codes skips re-encoding and does NOT
+    # mutate the caller's arrays (the raw pose feeds landmark export)
+    raw2 = {k: v.copy() for k, v in raw.items()}
+    codes2 = pre.pseudo_gt(frames, validity, codes=raw2)
+    assert np.allclose(codes2["exp"], codes["exp"])
+    assert np.allclose(raw2["pose"], raw["pose"])  # unzeroed
+
+
+def test_landmark_export_uses_unzeroed_rotation(tmp_path):
+    """landmarks.npy must align with the (rotated) crops: the export
+    projects with the encoder's raw global rotation, not the frontalized
+    pseudo-GT pose."""
+    from avi_talking_tpu.core import FlameModel, synthetic_assets
+    from avi_talking_tpu.data.preprocess import landmarks_from_codes
+
+    assets = synthetic_assets(n_shape=8, n_exp=6, n_static_landmarks=51)
+    flame = FlameModel(assets, n_shape=8, n_exp=6)
+    rng = np.random.default_rng(4)
+    T = 3
+    codes = {
+        "shape": rng.standard_normal((T, 8)).astype(np.float32) * 0.1,
+        "exp": rng.standard_normal((T, 6)).astype(np.float32) * 0.1,
+        "pose": np.concatenate(
+            [np.full((T, 3), 0.4, np.float32),  # strong global rotation
+             rng.standard_normal((T, 3)).astype(np.float32) * 0.05], -1),
+        "cam": np.tile(np.asarray([[9.0, 0.0, 0.0]], np.float32), (T, 1)),
+    }
+    zeroed = {**codes, "pose": codes["pose"].copy()}
+    zeroed["pose"][:, :3] = 0.0
+    lmk_raw = landmarks_from_codes(flame, codes, chunk=2)
+    lmk_zero = landmarks_from_codes(flame, zeroed, chunk=2)
+    assert lmk_raw.shape == lmk_zero.shape
+    # the rotation must change the projection (the old bug exported the
+    # frontalized variant regardless of the head pose)
+    assert np.abs(lmk_raw - lmk_zero).max() > 1e-3
 
 
 def test_preprocess_mead_cli_roundtrip(tmp_path):
