@@ -245,6 +245,27 @@ def cmd_preprocess_mead(args) -> int:
 
     pre = EmocaPreprocessor(encoder=enc, variables=variables,
                             max_b=args.max_b)
+    detector = None
+    if args.fan_ckpt or args.fan_detect:
+        from ..models.fan_landmarks import (
+            FanLandmarkDetector, FanLandmarkNet,
+            fan_landmarks_params_from_torch)
+
+        if args.fan_ckpt:
+            import torch as _torch
+
+            fan = FanLandmarkNet()
+            fan_vars = fan_landmarks_params_from_torch(
+                _torch.load(args.fan_ckpt, map_location="cpu",
+                            weights_only=False))
+        else:
+            print("preprocess-mead: --fan-detect without --fan-ckpt; FAN is "
+                  "RANDOM-init (smoke semantics)", file=sys.stderr)
+            fan = FanLandmarkNet(num_modules=1, depth=2, stem_features=8,
+                                 features=16)
+            fan_vars = fan.init(jax.random.PRNGKey(1),
+                                jnp.zeros((1, S, S, 3)))
+        detector = FanLandmarkDetector(fan, fan_vars, max_b=args.max_b)
     flame = None
     if args.tiny or args.flame_npz:
         from ..core import FlameModel, synthetic_assets
@@ -264,7 +285,8 @@ def cmd_preprocess_mead(args) -> int:
     for clip in clips:
         out = preprocess_clip_folder(
             pre, os.path.join(args.src, clip), args.out,
-            write_detections=not args.no_detections, flame=flame)
+            write_detections=not args.no_detections, flame=flame,
+            detector=detector)
         if out:
             done += 1
             print(f"[{done}/{len(clips)}] {clip} -> {out}")
@@ -290,6 +312,12 @@ def register(sub, common):
     pm.add_argument("--flame-npz", default=None,
                     help="FLAME assets: also export pseudo landmarks.npy "
                          "per clip (train-emoca --root fine-tune source)")
+    pm.add_argument("--fan-ckpt", default=None,
+                    help="face_alignment 2DFAN4 torch weights: detect "
+                         "landmarks + per-frame validity in-framework")
+    pm.add_argument("--fan-detect", action="store_true",
+                    help="run the FAN detector even without weights "
+                         "(random-init smoke)")
     pm.add_argument("--tiny", action="store_true")
     pm.set_defaults(fn=cmd_preprocess_mead)
 

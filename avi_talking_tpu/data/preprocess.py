@@ -168,8 +168,17 @@ def preprocess_clip_folder(
     out_dir: str,
     write_detections: bool = True,
     flame=None,  # core.flame.FlameModel: also export landmarks.npy
+    detector=None,  # models.fan_landmarks.FanLandmarkDetector
 ) -> Optional[str]:
-    """One raw clip folder -> one EMOCA-preprocessed clip folder."""
+    """One raw clip folder -> one EMOCA-preprocessed clip folder.
+
+    With ``detector`` (a FAN landmark detector), landmarks + per-frame
+    validity are DETECTED in-framework — the reference's
+    FaceDetector.landmarks_from_batch_no_face_detection path
+    (inferno/utils/FaceDetector.py:128-145) — and the validity weights the
+    shape average. Detected landmarks take precedence over the FLAME
+    projection fallback (``flame``); an explicit validity.npy in the
+    source folder takes precedence over detected scores."""
     import glob
 
     from ..viz.pngio import read_image_normalized
@@ -182,6 +191,14 @@ def preprocess_clip_folder(
     vp = os.path.join(src_dir, "validity.npy")
     if os.path.exists(vp):
         validity = np.load(vp).astype(np.float32)
+    det_lmk = None
+    if detector is not None:
+        det_lmk, det_scores = detector(frames)
+        if validity is None:
+            validity = np.clip(det_scores.mean(-1), 0.0, None)
+            s = validity.sum()
+            if not np.isfinite(s) or s <= 0:
+                validity = None  # degenerate scores -> uniform weights
     raw = pre.encode_frames(frames)
     codes = pre.pseudo_gt(frames, validity, codes=raw)
     name = os.path.basename(src_dir.rstrip("/"))
@@ -190,7 +207,11 @@ def preprocess_clip_folder(
         os.path.join(out_dir, name), codes,
         wav_src=wavs[0] if wavs else None,
         detections=frames if write_detections else None)
-    if flame is not None:
+    if det_lmk is not None:
+        np.save(os.path.join(clip_dir, "landmarks.npy"), det_lmk)
+        if validity is not None:
+            np.save(os.path.join(clip_dir, "validity.npy"), validity)
+    elif flame is not None:
         # project with the UNzeroed global rotation so the exported
         # landmarks lie on the face in the exported crops (the pseudo-GT
         # pose is frontalized, the images are not); shape stays the
