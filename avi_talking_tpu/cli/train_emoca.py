@@ -266,6 +266,8 @@ def cmd_preprocess_mead(args) -> int:
             fan_vars = fan.init(jax.random.PRNGKey(1),
                                 jnp.zeros((1, S, S, 3)))
         detector = FanLandmarkDetector(fan, fan_vars, max_b=args.max_b)
+    if args.full_frames and detector is None:
+        raise SystemExit("--full-frames needs --fan-ckpt or --fan-detect")
     flame = None
     if args.tiny or args.flame_npz:
         from ..core import FlameModel, synthetic_assets
@@ -286,7 +288,8 @@ def cmd_preprocess_mead(args) -> int:
         out = preprocess_clip_folder(
             pre, os.path.join(args.src, clip), args.out,
             write_detections=not args.no_detections, flame=flame,
-            detector=detector)
+            detector=detector, crop_full_frames=args.full_frames,
+            crop_size=S, crop_scale=args.crop_scale)
         if out:
             done += 1
             print(f"[{done}/{len(clips)}] {clip} -> {out}")
@@ -318,6 +321,12 @@ def register(sub, common):
     pm.add_argument("--fan-detect", action="store_true",
                     help="run the FAN detector even without weights "
                          "(random-init smoke)")
+    pm.add_argument("--full-frames", action="store_true",
+                    help="source PNGs are FULL video frames: detect + "
+                         "warp-crop the face box to --size before encoding "
+                         "(requires --fan-ckpt or --fan-detect)")
+    pm.add_argument("--crop-scale", type=float, default=1.25,
+                    help="face-box scale for --full-frames (reference 1.25)")
     pm.add_argument("--tiny", action="store_true")
     pm.set_defaults(fn=cmd_preprocess_mead)
 

@@ -1,0 +1,139 @@
+"""Landmark-driven face cropping (detect -> center/size -> similarity warp).
+
+The in-framework equivalent of the reference's detection/cropping helpers at
+third_party/inferno/inferno/datasets/ImageDatasetHelpers.py:25-70
+(``bbox2point``/``point2transform``/``bbpoint_warp``) as driven by
+FaceVideoDataModule (scale=1.25, kpt68 boxes from the FAN detector's
+landmark min/max, FaceDetector.py:112-121). Together with
+models.fan_landmarks this closes the raw-FULL-frame -> cropped-detection
+path: detect landmarks on the full frame, derive the square face box,
+warp-crop to the encoder size, and carry the landmarks into crop space.
+
+The reference warps with skimage bicubic (order=3); we warp with a jitted
+bilinear gather (jax map_coordinates supports order<=1) — sub-pixel
+differences are far below the downstream encoder's sensitivity, and the
+warp runs batched on device instead of per-frame on host.
+
+All landmark/crop conventions: pixel coords are (x right, y down);
+normalized coords are [-1, 1] NDC with the same orientation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def bbox2point_kpt68(lmk_px: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(T, 68, 2) landmark pixels -> (old_size (T,), center (T, 2)).
+
+    ImageDatasetHelpers.bbox2point type='kpt68': old_size is the mean box
+    side x 1.1; center is the box center."""
+    left = lmk_px[..., 0].min(-1)
+    right = lmk_px[..., 0].max(-1)
+    top = lmk_px[..., 1].min(-1)
+    bottom = lmk_px[..., 1].max(-1)
+    old_size = (right - left + bottom - top) / 2.0 * 1.1
+    center = np.stack([right - (right - left) / 2.0,
+                       bottom - (bottom - top) / 2.0], axis=-1)
+    return old_size.astype(np.float32), center.astype(np.float32)
+
+
+def bbox2point_bbox(boxes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(T, 4) [left, top, right, bottom] detector boxes -> (size, center)
+    with the detector-box vertical shift (bbox2point type='bbox')."""
+    left, top, right, bottom = [boxes[..., i] for i in range(4)]
+    old_size = (right - left + bottom - top) / 2.0
+    center = np.stack(
+        [right - (right - left) / 2.0,
+         bottom - (bottom - top) / 2.0 + old_size * 0.12], axis=-1)
+    return old_size.astype(np.float32), center.astype(np.float32)
+
+
+def warp_crop(frames, center, size, out_size: int):
+    """Batched square crop: (T, H, W, 3), (T, 2), (T,) -> (T, S, S, 3).
+
+    point2transform semantics: the square [center - size/2, center + size/2]
+    maps onto [0, out_size - 1]; bilinear sampling, edge clamp (skimage
+    warp's default 'constant' only differs outside the frame, where a face
+    box rarely reaches; clamping avoids black borders poisoning the
+    encoder)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(3,))
+    def _warp(fr, c, s, S):
+        grid = jnp.arange(S, dtype=jnp.float32) / (S - 1)  # [0, 1]
+
+        def one(img, ci, si):
+            x0 = ci[0] - si / 2.0
+            y0 = ci[1] - si / 2.0
+            xs = x0 + grid * si  # (S,)
+            ys = y0 + grid * si
+            sx = jnp.clip(xs, 0.0, img.shape[1] - 1.0)
+            sy = jnp.clip(ys, 0.0, img.shape[0] - 1.0)
+            yy = jnp.broadcast_to(sy[:, None], (S, S))
+            xx = jnp.broadcast_to(sx[None, :], (S, S))
+            return jnp.stack([
+                jax.scipy.ndimage.map_coordinates(
+                    img[..., ch], [yy, xx], order=1, mode="nearest")
+                for ch in range(img.shape[-1])], axis=-1)
+
+        return jax.vmap(one)(fr, c, s)
+
+    return np.asarray(_warp(
+        jnp.asarray(frames), jnp.asarray(center),
+        jnp.asarray(size), out_size))
+
+
+def landmarks_to_crop_space(
+    lmk_px: np.ndarray, center: np.ndarray, size: np.ndarray, out_size: int
+) -> np.ndarray:
+    """Full-frame landmark pixels -> [-1, 1] NDC of the warped crop."""
+    origin = center - size[:, None] / 2.0  # (T, 2)
+    crop_px = (lmk_px - origin[:, None, :]) * (
+        (out_size - 1) / size)[:, None, None]
+    return (crop_px / (out_size - 1) * 2.0 - 1.0).astype(np.float32)
+
+
+def detect_and_crop(
+    detector,  # models.fan_landmarks.FanLandmarkDetector
+    frames: np.ndarray,  # (T, H, W, 3) FULL frames in [0, 1]
+    out_size: int = 224,
+    scale: float = 1.25,
+    smooth_boxes: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full frames -> (crops (T, S, S, 3), crop-space landmarks (T, 68, 2)
+    in [-1, 1], per-frame validity (T,)).
+
+    FaceVideoDataModule flow: FAN landmarks on the (resized) full frame ->
+    kpt68 box -> size x ``scale`` (default 1.25) -> similarity warp-crop.
+    ``smooth_boxes`` median-smooths center/size over the clip (the
+    reference's static-box option for single-subject clips)."""
+    import jax
+    import jax.numpy as jnp
+
+    T, H, W = frames.shape[:3]
+    # FAN's optimal input (FaceDetector.optimal_landmark_detector_im_size)
+    det_size = 256
+    if (H, W) != (det_size, det_size):
+        det_in = np.asarray(jax.image.resize(
+            jnp.asarray(frames), (T, det_size, det_size, 3), "bilinear"))
+    else:
+        det_in = frames
+    lmk_ndc, scores = detector(det_in)  # [-1,1] of the resized frame
+    # -> full-frame pixels
+    rel = (lmk_ndc + 1.0) / 2.0
+    lmk_px = np.stack([rel[..., 0] * (W - 1), rel[..., 1] * (H - 1)], -1)
+    old_size, center = bbox2point_kpt68(lmk_px)
+    size = (old_size * scale).astype(np.float32)
+    if smooth_boxes:
+        size = np.full_like(size, float(np.median(size)))
+        center = np.broadcast_to(
+            np.median(center, axis=0, keepdims=True), center.shape).copy()
+    crops = warp_crop(frames, center, size, out_size)
+    crop_lmk = landmarks_to_crop_space(lmk_px, center, size, out_size)
+    validity = np.clip(scores.mean(-1), 0.0, None).astype(np.float32)
+    return crops.astype(np.float32), crop_lmk, validity

@@ -169,6 +169,9 @@ def preprocess_clip_folder(
     write_detections: bool = True,
     flame=None,  # core.flame.FlameModel: also export landmarks.npy
     detector=None,  # models.fan_landmarks.FanLandmarkDetector
+    crop_full_frames: bool = False,
+    crop_size: int = 224,
+    crop_scale: float = 1.25,
 ) -> Optional[str]:
     """One raw clip folder -> one EMOCA-preprocessed clip folder.
 
@@ -178,7 +181,13 @@ def preprocess_clip_folder(
     (inferno/utils/FaceDetector.py:128-145) — and the validity weights the
     shape average. Detected landmarks take precedence over the FLAME
     projection fallback (``flame``); an explicit validity.npy in the
-    source folder takes precedence over detected scores."""
+    source folder takes precedence over detected scores.
+
+    ``crop_full_frames`` additionally treats the source PNGs as FULL video
+    frames: landmarks are detected on the full frame, the kpt68 box is
+    warp-cropped to ``crop_size`` at ``crop_scale`` (FaceVideoDataModule's
+    detect step, data.facecrop), and everything downstream (encode,
+    detections/, landmarks.npy) runs on the crops."""
     import glob
 
     from ..viz.pngio import read_image_normalized
@@ -192,7 +201,17 @@ def preprocess_clip_folder(
     if os.path.exists(vp):
         validity = np.load(vp).astype(np.float32)
     det_lmk = None
-    if detector is not None:
+    if crop_full_frames:
+        if detector is None:
+            raise ValueError("crop_full_frames needs a landmark detector")
+        from .facecrop import detect_and_crop
+
+        frames, det_lmk, det_val = detect_and_crop(
+            detector, frames, out_size=crop_size, scale=crop_scale)
+        if validity is None:
+            s = det_val.sum()
+            validity = det_val if np.isfinite(s) and s > 0 else None
+    elif detector is not None:
         det_lmk, det_scores = detector(frames)
         if validity is None:
             validity = np.clip(det_scores.mean(-1), 0.0, None)

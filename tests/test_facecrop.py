@@ -1,0 +1,147 @@
+"""Landmark-driven face cropping: bbox2point/warp semantics + full-frame
+preprocessing path (ImageDatasetHelpers.py:25-70, FaceVideoDataModule)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avi_talking_tpu.data.facecrop import (
+    bbox2point_bbox,
+    bbox2point_kpt68,
+    detect_and_crop,
+    landmarks_to_crop_space,
+    warp_crop,
+)
+
+
+def test_bbox2point_kpt68_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    lmk = rng.uniform(20, 80, (3, 68, 2)).astype(np.float32)
+    size, center = bbox2point_kpt68(lmk)
+    for t in range(3):
+        left, right = lmk[t, :, 0].min(), lmk[t, :, 0].max()
+        top, bottom = lmk[t, :, 1].min(), lmk[t, :, 1].max()
+        assert np.isclose(size[t], (right - left + bottom - top) / 2 * 1.1)
+        assert np.allclose(center[t], [(left + right) / 2, (top + bottom) / 2],
+                           atol=1e-5)
+
+
+def test_bbox2point_bbox_vertical_shift():
+    boxes = np.asarray([[10.0, 20.0, 50.0, 80.0]], np.float32)
+    size, center = bbox2point_bbox(boxes)
+    old = (40 + 60) / 2
+    assert np.isclose(size[0], old)
+    assert np.allclose(center[0], [30.0, 50.0 + old * 0.12])
+
+
+def test_warp_crop_identity_and_subregion():
+    """Cropping the exact image square reproduces the image; cropping a
+    subregion equals direct slicing when the box is pixel-aligned."""
+    rng = np.random.default_rng(1)
+    S = 16
+    img = rng.uniform(0, 1, (1, S, S, 3)).astype(np.float32)
+    c = np.asarray([[(S - 1) / 2, (S - 1) / 2]], np.float32)
+    out = warp_crop(img, c, np.asarray([S - 1.0], np.float32), S)
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+    # pixel-aligned 8x8 box at origin (4,4): sampling grid hits texels when
+    # size == out-1
+    out2 = warp_crop(img, np.asarray([[7.5, 7.5]], np.float32),
+                     np.asarray([7.0], np.float32), 8)
+    np.testing.assert_allclose(out2[0], img[0, 4:12, 4:12], atol=1e-5)
+
+
+def test_landmarks_roundtrip_into_crop_space():
+    """A landmark at the crop center maps to NDC 0; corners map to +-1."""
+    center = np.asarray([[50.0, 60.0]], np.float32)
+    size = np.asarray([40.0], np.float32)
+    lmk = np.asarray([[[50.0, 60.0],      # center
+                       [30.0, 40.0],      # top-left of the box
+                       [70.0, 80.0]]], np.float32)  # bottom-right
+    ndc = landmarks_to_crop_space(lmk, center, size, 32)
+    np.testing.assert_allclose(ndc[0, 0], [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(ndc[0, 1], [-1.0, -1.0], atol=1e-6)
+    np.testing.assert_allclose(ndc[0, 2], [1.0, 1.0], atol=1e-6)
+
+
+class _FakeDetector:
+    """Deterministic landmark stub: puts the 'face' box around a known
+    square so the crop is verifiable."""
+
+    def __init__(self, box_ndc):
+        self.box = box_ndc  # (x0, y0, x1, y1) in [-1, 1]
+
+    def __call__(self, frames):
+        T = frames.shape[0]
+        x0, y0, x1, y1 = self.box
+        lmk = np.zeros((T, 68, 2), np.float32)
+        lmk[:, :, 0] = np.linspace(x0, x1, 68)[None]
+        lmk[:, :, 1] = np.linspace(y0, y1, 68)[None]
+        return lmk, np.full((T, 68), 0.9, np.float32)
+
+
+def test_detect_and_crop_centers_the_box():
+    """The detected box center lands at the crop center, and validity
+    comes from the detector scores."""
+    rng = np.random.default_rng(2)
+    H = W = 64
+    frames = rng.uniform(0, 1, (2, H, W, 3)).astype(np.float32)
+    det = _FakeDetector((-0.5, -0.5, 0.5, 0.5))  # centered box
+    crops, lmk, val = detect_and_crop(det, frames, out_size=32, scale=1.0)
+    assert crops.shape == (2, 32, 32, 3)
+    assert lmk.shape == (2, 68, 2)
+    np.testing.assert_allclose(val, 0.9, atol=1e-6)
+    # centered box: landmark mean (the box center) maps near NDC origin
+    assert np.abs(lmk[..., 0].mean()) < 0.05 and np.abs(lmk[..., 1].mean()) < 0.05
+    # the crop of a centered kpt box at scale 1 is a zoom-in: its content
+    # must come from the frame interior, not the borders
+    interior = frames[:, H // 4 : 3 * H // 4, W // 4 : 3 * W // 4]
+    assert abs(crops.mean() - interior.mean()) < 0.05
+
+
+def test_smooth_boxes_freezes_center_and_size():
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+
+    class _Jitter(_FakeDetector):
+        def __call__(self, frames):
+            lmk, sc = super().__call__(frames)
+            lmk += rng.uniform(-0.05, 0.05, lmk.shape).astype(np.float32)
+            return lmk, sc
+
+    det = _Jitter((-0.4, -0.4, 0.4, 0.4))
+    crops, lmk, _ = detect_and_crop(det, frames, out_size=16, scale=1.1,
+                                    smooth_boxes=True)
+    assert crops.shape == (3, 16, 16, 3)
+
+
+def test_preprocess_full_frames_cli(tmp_path):
+    """preprocess-mead --full-frames: full PNGs -> detect+crop -> folders
+    with crop-sized detections, landmarks.npy, validity.npy."""
+    from avi_talking_tpu.cli import main
+    from avi_talking_tpu.viz.pngio import read_image_normalized, write_png
+
+    rng = np.random.default_rng(4)
+    src = tmp_path / "src" / "clipF"
+    src.mkdir(parents=True)
+    for t in range(3):
+        write_png(str(src / f"{t:03d}.png"),
+                  (rng.uniform(0, 1, (96, 96, 3)) * 255).astype(np.uint8))
+    out = tmp_path / "out"
+    rc = main(["preprocess-mead", "--src", str(tmp_path / "src"),
+               "--out", str(out), "--tiny", "--size", "32", "--max-b", "4",
+               "--fan-detect", "--full-frames"])
+    assert rc == 0
+    clip = out / "clipF"
+    lmk = np.load(clip / "landmarks.npy")
+    val = np.load(clip / "validity.npy")
+    assert lmk.shape == (3, 68, 2) and val.shape == (3,)
+    det0 = read_image_normalized(str(clip / "detections" / "00000_000.png"))
+    assert det0.shape == (32, 32, 3)  # cropped to --size, not source size
+
+    # --full-frames without a detector fails loudly
+    with pytest.raises(SystemExit):
+        main(["preprocess-mead", "--src", str(tmp_path / "src"),
+              "--out", str(out), "--tiny", "--size", "32", "--full-frames"])
