@@ -268,6 +268,18 @@ def cmd_preprocess_mead(args) -> int:
         detector = FanLandmarkDetector(fan, fan_vars, max_b=args.max_b)
     if args.full_frames and detector is None:
         raise SystemExit("--full-frames needs --fan-ckpt or --fan-detect")
+    box_detector = None
+    if args.sfd_ckpt:
+        if not args.full_frames:
+            raise SystemExit("--sfd-ckpt only applies with --full-frames")
+        import torch as _torch
+
+        from ..models.sfd import SfdDetector, sfd_params_from_torch
+
+        box_detector = SfdDetector(
+            sfd_params_from_torch(_torch.load(
+                args.sfd_ckpt, map_location="cpu", weights_only=False)),
+            threshold=args.sfd_threshold)
     flame = None
     if args.tiny or args.flame_npz:
         from ..core import FlameModel, synthetic_assets
@@ -289,7 +301,8 @@ def cmd_preprocess_mead(args) -> int:
             pre, os.path.join(args.src, clip), args.out,
             write_detections=not args.no_detections, flame=flame,
             detector=detector, crop_full_frames=args.full_frames,
-            crop_size=S, crop_scale=args.crop_scale)
+            crop_size=S, crop_scale=args.crop_scale,
+            box_detector=box_detector)
         if out:
             done += 1
             print(f"[{done}/{len(clips)}] {clip} -> {out}")
@@ -327,6 +340,12 @@ def register(sub, common):
                          "(requires --fan-ckpt or --fan-detect)")
     pm.add_argument("--crop-scale", type=float, default=1.25,
                     help="face-box scale for --full-frames (reference 1.25)")
+    pm.add_argument("--sfd-ckpt", default=None,
+                    help="S3FD torch weights: stage-1 face-box detection "
+                         "before FAN (for frames where the face does not "
+                         "dominate); requires --full-frames")
+    pm.add_argument("--sfd-threshold", type=float, default=0.5,
+                    help="S3FD keep threshold (reference filter_threshold)")
     pm.add_argument("--tiny", action="store_true")
     pm.set_defaults(fn=cmd_preprocess_mead)
 

@@ -104,29 +104,51 @@ def detect_and_crop(
     out_size: int = 224,
     scale: float = 1.25,
     smooth_boxes: bool = False,
+    box_detector=None,  # models.sfd.SfdDetector
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full frames -> (crops (T, S, S, 3), crop-space landmarks (T, 68, 2)
     in [-1, 1], per-frame validity (T,)).
 
-    FaceVideoDataModule flow: FAN landmarks on the (resized) full frame ->
-    kpt68 box -> size x ``scale`` (default 1.25) -> similarity warp-crop.
+    FaceVideoDataModule flow: FAN landmarks on the full frame -> kpt68 box
+    -> size x ``scale`` (default 1.25) -> similarity warp-crop.
     ``smooth_boxes`` median-smooths center/size over the clip (the
-    reference's static-box option for single-subject clips)."""
+    reference's static-box option for single-subject clips).
+
+    With ``box_detector`` (S3FD), a detection stage runs first — the
+    face_alignment get_landmarks flow: SFD box -> box-centered 256 crop
+    (center shifted up 0.12 x box height, side 200 x (w+h)/195) -> FAN on
+    the crop -> landmarks mapped back to full-frame pixels. Without it,
+    FAN runs on the whole (resized) frame — fine when the face dominates
+    the frame (talking-head footage), required detector-free."""
     import jax
     import jax.numpy as jnp
 
     T, H, W = frames.shape[:3]
     # FAN's optimal input (FaceDetector.optimal_landmark_detector_im_size)
     det_size = 256
-    if (H, W) != (det_size, det_size):
-        det_in = np.asarray(jax.image.resize(
-            jnp.asarray(frames), (T, det_size, det_size, 3), "bilinear"))
+    if box_detector is not None:
+        boxes = box_detector.best_box(frames)  # (T, 5)
+        bw = boxes[:, 2] - boxes[:, 0]
+        bh = boxes[:, 3] - boxes[:, 1]
+        center0 = np.stack(
+            [(boxes[:, 0] + boxes[:, 2]) / 2.0,
+             (boxes[:, 1] + boxes[:, 3]) / 2.0 - 0.12 * bh], axis=-1)
+        side0 = ((bw + bh) * (200.0 / 195.0)).astype(np.float32)
+        stage1 = warp_crop(frames, center0, side0, det_size)
+        lmk_ndc, scores = detector(stage1)  # [-1,1] of the stage-1 crop
+        origin = center0 - side0[:, None] / 2.0
+        lmk_px = (origin[:, None, :]
+                  + (lmk_ndc + 1.0) / 2.0 * side0[:, None, None])
     else:
-        det_in = frames
-    lmk_ndc, scores = detector(det_in)  # [-1,1] of the resized frame
-    # -> full-frame pixels
-    rel = (lmk_ndc + 1.0) / 2.0
-    lmk_px = np.stack([rel[..., 0] * (W - 1), rel[..., 1] * (H - 1)], -1)
+        if (H, W) != (det_size, det_size):
+            det_in = np.asarray(jax.image.resize(
+                jnp.asarray(frames), (T, det_size, det_size, 3), "bilinear"))
+        else:
+            det_in = frames
+        lmk_ndc, scores = detector(det_in)  # [-1,1] of the resized frame
+        # -> full-frame pixels
+        rel = (lmk_ndc + 1.0) / 2.0
+        lmk_px = np.stack([rel[..., 0] * (W - 1), rel[..., 1] * (H - 1)], -1)
     old_size, center = bbox2point_kpt68(lmk_px)
     size = (old_size * scale).astype(np.float32)
     if smooth_boxes:

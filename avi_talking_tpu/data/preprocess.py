@@ -172,6 +172,7 @@ def preprocess_clip_folder(
     crop_full_frames: bool = False,
     crop_size: int = 224,
     crop_scale: float = 1.25,
+    box_detector=None,  # models.sfd.SfdDetector (stage-1 face boxes)
 ) -> Optional[str]:
     """One raw clip folder -> one EMOCA-preprocessed clip folder.
 
@@ -207,7 +208,8 @@ def preprocess_clip_folder(
         from .facecrop import detect_and_crop
 
         frames, det_lmk, det_val = detect_and_crop(
-            detector, frames, out_size=crop_size, scale=crop_scale)
+            detector, frames, out_size=crop_size, scale=crop_scale,
+            box_detector=box_detector)
         if validity is None:
             s = det_val.sum()
             validity = det_val if np.isfinite(s) and s > 0 else None

@@ -1,0 +1,245 @@
+"""S3FD single-shot face detector (the `face_alignment` 'sfd' backend).
+
+TPU-native equivalent of the face-box detector the reference's FAN wrapper
+configures at
+/root/reference/third_party/inferno/inferno/utils/FaceDetector.py:79-94
+(``face_detector='sfd'``, ``filter_threshold``): the public S3FD net
+(Zhang et al. 2017, as shipped in face_alignment/detection/sfd) — a VGG16
+trunk with L2Norm-rescaled intermediate taps and six {conf, loc} SSD heads
+at strides 4..128, anchor side 4x stride, max-out background label on the
+stride-4 head. We implement the net in flax NHWC (jitted, MXU-friendly
+NHWC convs), a torch state-dict importer for the public s3fd weights, and
+the host-side prior decode + NMS (variance [0.1, 0.2], face_alignment
+detection semantics: keep cls>0.05, NMS IoU 0.3, then filter_threshold).
+
+Input convention follows face_alignment: RGB, mean [104, 117, 123]
+subtracted from 0-255 values (we take [0, 1] floats and scale).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class L2Norm(nn.Module):
+    """Channel-wise L2 normalisation with a learned per-channel scale."""
+
+    n_channels: int
+    scale_init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda k, s: jnp.full(s, self.scale_init),
+                       (self.n_channels,))
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + 1e-10
+        return x / norm * w
+
+
+def _conv(ch, k, s=1, p=None, name=None):
+    return nn.Conv(ch, (k, k), strides=(s, s),
+                   padding=(k // 2 if p is None else p), name=name)
+
+
+class S3FD(nn.Module):
+    """Returns [cls1, reg1, ..., cls6, reg6] NHWC maps (softmax applied to
+    cls, max-out background already folded into cls1 — the detector-side
+    view face_alignment's ``detect`` consumes)."""
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3), face_alignment-preprocessed
+        r = jax.nn.relu
+        h = r(_conv(64, 3, name="conv1_1")(x))
+        h = r(_conv(64, 3, name="conv1_2")(h))
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = r(_conv(128, 3, name="conv2_1")(h))
+        h = r(_conv(128, 3, name="conv2_2")(h))
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = r(_conv(256, 3, name="conv3_1")(h))
+        h = r(_conv(256, 3, name="conv3_2")(h))
+        h = r(_conv(256, 3, name="conv3_3")(h))
+        f3_3 = h
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = r(_conv(512, 3, name="conv4_1")(h))
+        h = r(_conv(512, 3, name="conv4_2")(h))
+        h = r(_conv(512, 3, name="conv4_3")(h))
+        f4_3 = h
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = r(_conv(512, 3, name="conv5_1")(h))
+        h = r(_conv(512, 3, name="conv5_2")(h))
+        h = r(_conv(512, 3, name="conv5_3")(h))
+        f5_3 = h
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = r(_conv(1024, 3, p=3, name="fc6")(h))
+        h = r(_conv(1024, 1, name="fc7")(h))
+        ffc7 = h
+        h = r(_conv(256, 1, p=0, name="conv6_1")(h))
+        h = r(_conv(512, 3, s=2, p=1, name="conv6_2")(h))
+        f6_2 = h
+        h = r(_conv(128, 1, p=0, name="conv7_1")(h))
+        h = r(_conv(256, 3, s=2, p=1, name="conv7_2")(h))
+        f7_2 = h
+
+        f3_3 = L2Norm(256, 10.0, name="conv3_3_norm")(f3_3)
+        f4_3 = L2Norm(512, 8.0, name="conv4_3_norm")(f4_3)
+        f5_3 = L2Norm(512, 5.0, name="conv5_3_norm")(f5_3)
+
+        cls1 = _conv(4, 3, name="conv3_3_norm_mbox_conf")(f3_3)
+        reg1 = _conv(4, 3, name="conv3_3_norm_mbox_loc")(f3_3)
+        cls2 = _conv(2, 3, name="conv4_3_norm_mbox_conf")(f4_3)
+        reg2 = _conv(4, 3, name="conv4_3_norm_mbox_loc")(f4_3)
+        cls3 = _conv(2, 3, name="conv5_3_norm_mbox_conf")(f5_3)
+        reg3 = _conv(4, 3, name="conv5_3_norm_mbox_loc")(f5_3)
+        cls4 = _conv(2, 3, name="fc7_mbox_conf")(ffc7)
+        reg4 = _conv(4, 3, name="fc7_mbox_loc")(ffc7)
+        cls5 = _conv(2, 3, name="conv6_2_mbox_conf")(f6_2)
+        reg5 = _conv(4, 3, name="conv6_2_mbox_loc")(f6_2)
+        cls6 = _conv(2, 3, name="conv7_2_mbox_conf")(f7_2)
+        reg6 = _conv(4, 3, name="conv7_2_mbox_loc")(f7_2)
+
+        # max-out background label (net_s3fd forward): bg = max of the
+        # first three channels, face = the fourth
+        bmax = jnp.max(cls1[..., :3], axis=-1, keepdims=True)
+        cls1 = jnp.concatenate([bmax, cls1[..., 3:]], axis=-1)
+
+        out = []
+        for c, g in ((cls1, reg1), (cls2, reg2), (cls3, reg3),
+                     (cls4, reg4), (cls5, reg5), (cls6, reg6)):
+            out.append(jax.nn.softmax(c, axis=-1))
+            out.append(g)
+        return out
+
+
+def decode_priors(loc: np.ndarray, priors: np.ndarray,
+                  variances=(0.1, 0.2)) -> np.ndarray:
+    """SSD prior decode (face_alignment bbox.decode): center-offset +
+    log-size regression -> [x0, y0, x1, y1]."""
+    boxes = np.concatenate(
+        [priors[:, :2] + loc[:, :2] * variances[0] * priors[:, 2:],
+         priors[:, 2:] * np.exp(loc[:, 2:] * variances[1])], axis=1)
+    boxes[:, :2] -= boxes[:, 2:] / 2
+    boxes[:, 2:] += boxes[:, :2]
+    return boxes
+
+
+def nms(dets: np.ndarray, thresh: float = 0.3) -> List[int]:
+    """Greedy IoU NMS over (N, 5) [x0, y0, x1, y1, score]."""
+    if len(dets) == 0:
+        return []
+    x1, y1, x2, y2, scores = dets.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        iou = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][iou <= thresh]
+    return keep
+
+
+class SfdDetector:
+    """Face-box detection over frame batches.
+
+    ``__call__`` takes (T, H, W, 3) frames in [0, 1] RGB and returns a list
+    of (N_t, 5) [x0, y0, x1, y1, score] arrays in pixel coords, NMS'd and
+    filtered at ``threshold`` (the inferno FAN wrapper's filter_threshold,
+    FaceDetector.py:80-82). ``best_box`` keeps the top-scoring face per
+    frame (T, 5), falling back to the previous frame's box when a frame
+    has none (the common single-subject video case)."""
+
+    MEAN = np.array([104.0, 117.0, 123.0], np.float32)
+
+    def __init__(self, variables: Dict, threshold: float = 0.5,
+                 nms_iou: float = 0.3, candidate_floor: float = 0.05):
+        self.model = S3FD()
+        self.variables = variables
+        self.threshold = threshold
+        self.nms_iou = nms_iou
+        self.candidate_floor = candidate_floor
+        self._fwd = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
+        x = jnp.asarray(frames) * 255.0 - jnp.asarray(self.MEAN)
+        olist = [np.asarray(o) for o in self._fwd(self.variables, x)]
+        T = frames.shape[0]
+        results = []
+        for t in range(T):
+            cand = []
+            for i in range(len(olist) // 2):
+                ocls, oreg = olist[i * 2][t], olist[i * 2 + 1][t]  # HWC
+                stride = 2 ** (i + 2)
+                hs, ws = np.where(ocls[..., 1] > self.candidate_floor)
+                if hs.size == 0:
+                    continue
+                axc = stride / 2 + ws * stride
+                ayc = stride / 2 + hs * stride
+                priors = np.stack(
+                    [axc, ayc, np.full_like(axc, 4 * stride),
+                     np.full_like(axc, 4 * stride)], axis=1).astype(np.float32)
+                loc = oreg[hs, ws, :]
+                boxes = decode_priors(loc, priors)
+                scores = ocls[hs, ws, 1][:, None]
+                cand.append(np.concatenate([boxes, scores], axis=1))
+            if cand:
+                dets = np.concatenate(cand)
+                dets = dets[nms(dets, self.nms_iou)]
+                dets = dets[dets[:, 4] >= self.threshold]
+            else:
+                dets = np.zeros((0, 5), np.float32)
+            results.append(dets.astype(np.float32))
+        return results
+
+    def best_box(self, frames: np.ndarray) -> np.ndarray:
+        dets = self(frames)
+        T = frames.shape[0]
+        H, W = frames.shape[1:3]
+        out = np.zeros((T, 5), np.float32)
+        prev = None
+        for t in range(T):
+            if len(dets[t]):
+                prev = dets[t][np.argmax(dets[t][:, 4])]
+            if prev is None:
+                # no face yet: whole frame, zero confidence
+                out[t] = [0.0, 0.0, W - 1.0, H - 1.0, 0.0]
+            else:
+                out[t] = prev
+        return out
+
+
+# ----- torch import --------------------------------------------------------
+
+
+def sfd_params_from_torch(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """face_alignment s3fd state_dict -> flax variables (conv kernels
+    OIHW -> HWIO, L2Norm per-channel weights)."""
+    from ..infra.torch_compat import to_np
+
+    P: Dict[str, Any] = {}
+    for key in sd:
+        mod = key.rsplit(".", 1)[0]
+        if mod in P and isinstance(P[mod], dict) and len(P[mod]) == 2:
+            continue
+        w = sd.get(f"{mod}.weight")
+        if w is None:
+            continue
+        wn = to_np(w)
+        if wn.ndim == 4:  # conv
+            entry = {"kernel": wn.transpose(2, 3, 1, 0)}
+            if f"{mod}.bias" in sd:
+                entry["bias"] = to_np(sd[f"{mod}.bias"])
+            P[mod] = entry
+        elif wn.ndim == 1:  # L2Norm
+            P[mod] = {"weight": wn}
+    return {"params": P}

@@ -117,6 +117,51 @@ def test_smooth_boxes_freezes_center_and_size():
     assert crops.shape == (3, 16, 16, 3)
 
 
+class _FakeBoxDetector:
+    """Returns one fixed face box per frame (SfdDetector.best_box shape)."""
+
+    def __init__(self, box):
+        self.box = box  # (x0, y0, x1, y1)
+
+    def best_box(self, frames):
+        T = frames.shape[0]
+        out = np.zeros((T, 5), np.float32)
+        out[:, :4] = self.box
+        out[:, 4] = 0.9
+        return out
+
+
+def test_detect_and_crop_with_box_detector_two_stage():
+    """SFD-box stage 1: FAN runs on the box-centered crop and its
+    landmarks map back to full-frame pixels (face_alignment get_landmarks
+    flow), then the kpt68 crop proceeds as usual."""
+    rng = np.random.default_rng(5)
+    frames = rng.uniform(0, 1, (2, 100, 100, 3)).astype(np.float32)
+    # face box in the lower-right quadrant
+    boxd = _FakeBoxDetector((50.0, 50.0, 90.0, 90.0))
+    # FAN reports a centered box on ITS input (the stage-1 crop)
+    fan = _FakeDetector((-0.4, -0.4, 0.4, 0.4))
+    crops, lmk, val = detect_and_crop(fan, frames, out_size=24, scale=1.0,
+                                      box_detector=boxd)
+    assert crops.shape == (2, 24, 24, 3) and val.shape == (2,)
+    # stage-1 crop: center (70, 70 - 0.12*40) = (70, 65.2), side
+    # (40+40)*200/195 = 82.05; FAN NDC -0.4..0.4 -> full-frame px
+    side = 80 * 200.0 / 195.0
+    ox, oy = 70 - side / 2, 65.2 - side / 2
+    exp_x0 = ox + 0.3 * side  # ndc -0.4 -> rel 0.3
+    exp_x1 = ox + 0.7 * side
+    # reconstruct the full-frame landmark positions detect_and_crop derived
+    # from the final crop NDC: invert landmarks_to_crop_space
+    # final box center/size from the expected full-frame landmarks:
+    lmk_px_x = np.linspace(exp_x0, exp_x1, 68)
+    lmk_px_y = np.linspace(oy + 0.3 * side, oy + 0.7 * side, 68)
+    exp_lmk = np.stack([lmk_px_x, lmk_px_y], -1)[None].repeat(2, 0)
+    size_e, center_e = bbox2point_kpt68(exp_lmk.astype(np.float32))
+    got = landmarks_to_crop_space(exp_lmk.astype(np.float32), center_e,
+                                  size_e * 1.0, 24)
+    np.testing.assert_allclose(lmk, got, atol=1e-4)
+
+
 def test_preprocess_full_frames_cli(tmp_path):
     """preprocess-mead --full-frames: full PNGs -> detect+crop -> folders
     with crop-sized detections, landmarks.npy, validity.npy."""
