@@ -87,17 +87,25 @@ def cmd_train_emoca(args) -> int:
             raise SystemExit(
                 f"train-emoca needs 68-point landmarks ({lmk_path}); run a "
                 "detector offline or export from the EMOCA folders")
+        # segmentation masks (preprocess-mead --bisenet-ckpt output): the
+        # reference's useSeg=True photometric path (DECA.py:504-505)
+        mask_paths = [os.path.join(args.root, "masks",
+                                   os.path.basename(p)) for p in paths]
+        have_masks = all(os.path.exists(m) for m in mask_paths)
         rng = np.random.default_rng(args.seed)
 
-        def _load(idx):
-            # decode per batch (not the whole folder up front): bounds host
-            # memory at batch size for realistic clip sets
+        def _decode(pths, idx):
             imgs = np.stack(
-                [read_image_normalized(paths[j]) for j in idx]) * 0.5 + 0.5
+                [read_image_normalized(pths[j]) for j in idx]) * 0.5 + 0.5
             if imgs.shape[1] != S:
                 imgs = np.asarray(jax.image.resize(
                     jnp.asarray(imgs), (len(idx), S, S, 3), "bilinear"))
             return imgs
+
+        def _load(idx):
+            # decode per batch (not the whole folder up front): bounds host
+            # memory at batch size for realistic clip sets
+            return _decode(paths, idx)
 
         def batches():
             while True:
@@ -105,8 +113,12 @@ def cmd_train_emoca(args) -> int:
                 b = {"images": jnp.asarray(_load(idx))}
                 if lmk is not None:
                     b["lmk"] = jnp.asarray(lmk[idx])
+                if have_masks:
+                    m = _decode(mask_paths, idx)[..., :1]  # (B, S, S, 1)
+                    b["masks"] = jnp.asarray((m > 0.5).astype(np.float32))
                 yield b
-        print(f"data root: {len(paths)} frames (per-batch decode)")
+        print(f"data root: {len(paths)} frames (per-batch decode"
+              f"{', seg masks' if have_masks else ''})")
     else:
         rng = np.random.default_rng(args.seed)
         print("train-emoca: no --root; synthetic image batches (smoke)",
@@ -268,6 +280,25 @@ def cmd_preprocess_mead(args) -> int:
         detector = FanLandmarkDetector(fan, fan_vars, max_b=args.max_b)
     if args.full_frames and detector is None:
         raise SystemExit("--full-frames needs --fan-ckpt or --fan-detect")
+    parser = None
+    if args.bisenet_ckpt or args.parse_faces:
+        from ..models.bisenet import (
+            BiSeNet, FaceParser, bisenet_params_from_torch)
+
+        if args.bisenet_ckpt:
+            import torch as _torch
+
+            pvars = bisenet_params_from_torch(_torch.load(
+                args.bisenet_ckpt, map_location="cpu", weights_only=False))
+            psize = 512
+        else:
+            print("preprocess-mead: --parse-faces without --bisenet-ckpt; "
+                  "BiSeNet is RANDOM-init (smoke semantics)",
+                  file=sys.stderr)
+            pvars = BiSeNet().init(jax.random.PRNGKey(2),
+                                   jnp.zeros((1, 64, 64, 3)))
+            psize = 64
+        parser = FaceParser(pvars, size=psize, max_b=args.max_b)
     box_detector = None
     if args.sfd_ckpt:
         if not args.full_frames:
@@ -302,7 +333,7 @@ def cmd_preprocess_mead(args) -> int:
             write_detections=not args.no_detections, flame=flame,
             detector=detector, crop_full_frames=args.full_frames,
             crop_size=S, crop_scale=args.crop_scale,
-            box_detector=box_detector)
+            box_detector=box_detector, parser=parser)
         if out:
             done += 1
             print(f"[{done}/{len(clips)}] {clip} -> {out}")
@@ -346,6 +377,12 @@ def register(sub, common):
                          "dominate); requires --full-frames")
     pm.add_argument("--sfd-threshold", type=float, default=0.5,
                     help="S3FD keep threshold (reference filter_threshold)")
+    pm.add_argument("--bisenet-ckpt", default=None,
+                    help="face-parsing BiSeNet torch weights: write "
+                         "photometric masks/ per clip (train-emoca useSeg)")
+    pm.add_argument("--parse-faces", action="store_true",
+                    help="run the face parser even without weights "
+                         "(random-init smoke)")
     pm.add_argument("--tiny", action="store_true")
     pm.set_defaults(fn=cmd_preprocess_mead)
 

@@ -173,6 +173,7 @@ def preprocess_clip_folder(
     crop_size: int = 224,
     crop_scale: float = 1.25,
     box_detector=None,  # models.sfd.SfdDetector (stage-1 face boxes)
+    parser=None,  # models.bisenet.FaceParser (photometric seg masks)
 ) -> Optional[str]:
     """One raw clip folder -> one EMOCA-preprocessed clip folder.
 
@@ -188,7 +189,12 @@ def preprocess_clip_folder(
     frames: landmarks are detected on the full frame, the kpt68 box is
     warp-cropped to ``crop_size`` at ``crop_scale`` (FaceVideoDataModule's
     detect step, data.facecrop), and everything downstream (encode,
-    detections/, landmarks.npy) runs on the crops."""
+    detections/, landmarks.npy) runs on the crops.
+
+    ``parser`` (a BiSeNet FaceParser) additionally writes per-frame
+    photometric masks (masks/<frame>.png, the complement of the discarded
+    face-parsing labels, IO.py:255-278) that ``cli train-emoca`` consumes
+    as its useSeg-style batch masks."""
     import glob
 
     from ..viz.pngio import read_image_normalized
@@ -228,6 +234,15 @@ def preprocess_clip_folder(
         os.path.join(out_dir, name), codes,
         wav_src=wavs[0] if wavs else None,
         detections=frames if write_detections else None)
+    if parser is not None:
+        from ..viz.pngio import write_png
+
+        masks_dir = os.path.join(clip_dir, "masks")
+        os.makedirs(masks_dir, exist_ok=True)
+        _, mask = parser(frames)
+        for t in range(mask.shape[0]):
+            write_png(os.path.join(masks_dir, f"{t:05d}_000.png"),
+                      (mask[t] * 255).astype(np.uint8))
     if det_lmk is not None:
         np.save(os.path.join(clip_dir, "landmarks.npy"), det_lmk)
         if validity is not None:
