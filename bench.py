@@ -330,6 +330,27 @@ def main():
     _emit("serving_throughput", round(float(np.median(thrps)), 1),
           "s_audio_per_s_compute_served_median_of_3")
 
+    # ---- preprocessing throughput (EmocaEncoder pseudo-GT extraction) ----
+    # the raw-video -> pseudo-GT pipeline's hot stage: chunked jitted
+    # encode at the reference's 224^2 crop size (data/preprocess.py);
+    # includes the per-chunk H2D/D2H transfers a real run pays
+    from avi_talking_tpu.data.preprocess import EmocaPreprocessor
+    from avi_talking_tpu.models.emoca import EmocaEncoder
+
+    enc = EmocaEncoder(n_exp=50)
+    evars = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    pre = EmocaPreprocessor(encoder=enc, variables=evars, max_b=32)
+    pframes = np.random.default_rng(9).uniform(
+        0, 1, (64, 224, 224, 3)).astype(np.float32)
+    pre.encode_frames(pframes)  # warmup (compiles the chunk executable)
+    nrep = 3
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        pre.encode_frames(pframes)
+    _emit("preprocess_encode_frames_per_s",
+          round(64 * nrep / (time.perf_counter() - t0), 1),
+          "frames_per_s_224_maxb32")
+
     # ---- Pallas key-bias attention vs XLA (wav2vec2 encoder hot spot) ----
     from avi_talking_tpu.ops.pallas.attention import fused_keybias_attention
 
