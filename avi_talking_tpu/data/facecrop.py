@@ -52,14 +52,9 @@ def bbox2point_bbox(boxes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return old_size.astype(np.float32), center.astype(np.float32)
 
 
-def warp_crop(frames, center, size, out_size: int):
-    """Batched square crop: (T, H, W, 3), (T, 2), (T,) -> (T, S, S, 3).
-
-    point2transform semantics: the square [center - size/2, center + size/2]
-    maps onto [0, out_size - 1]; bilinear sampling, edge clamp (skimage
-    warp's default 'constant' only differs outside the frame, where a face
-    box rarely reaches; clamping avoids black borders poisoning the
-    encoder)."""
+def _warp_jit():
+    """Module-level jitted warp (one compile per (T, H, W, S) signature —
+    defining it inside warp_crop would re-trace on every call)."""
     import jax
     import jax.numpy as jnp
 
@@ -83,7 +78,26 @@ def warp_crop(frames, center, size, out_size: int):
 
         return jax.vmap(one)(fr, c, s)
 
-    return np.asarray(_warp(
+    return _warp
+
+
+_WARP = None
+
+
+def warp_crop(frames, center, size, out_size: int):
+    """Batched square crop: (T, H, W, 3), (T, 2), (T,) -> (T, S, S, 3).
+
+    point2transform semantics: the square [center - size/2, center + size/2]
+    maps onto [0, out_size - 1]; bilinear sampling, edge clamp (skimage
+    warp's default 'constant' only differs outside the frame, where a face
+    box rarely reaches; clamping avoids black borders poisoning the
+    encoder)."""
+    import jax.numpy as jnp
+
+    global _WARP
+    if _WARP is None:
+        _WARP = _warp_jit()
+    return np.asarray(_WARP(
         jnp.asarray(frames), jnp.asarray(center),
         jnp.asarray(size), out_size))
 
