@@ -91,7 +91,13 @@ def cmd_train_emoca(args) -> int:
         # reference's useSeg=True photometric path (DECA.py:504-505)
         mask_paths = [os.path.join(args.root, "masks",
                                    os.path.basename(p)) for p in paths]
-        have_masks = all(os.path.exists(m) for m in mask_paths)
+        n_masks = sum(os.path.exists(m) for m in mask_paths)
+        have_masks = n_masks == len(paths)
+        if 0 < n_masks < len(paths):
+            print(f"train-emoca: masks/ covers {n_masks}/{len(paths)} "
+                  "frames — IGNORING masks, photometric loss falls back to "
+                  "render alpha (re-run preprocess-mead --bisenet-ckpt for "
+                  "full coverage)", file=sys.stderr)
         rng = np.random.default_rng(args.seed)
 
         def _decode(pths, idx):
@@ -263,6 +269,7 @@ def cmd_preprocess_mead(args) -> int:
             FanLandmarkDetector, FanLandmarkNet,
             fan_landmarks_params_from_torch)
 
+        fan_size = 256  # 2DFAN4's depth-4 hourglass needs 256px inputs
         if args.fan_ckpt:
             import torch as _torch
 
@@ -275,9 +282,11 @@ def cmd_preprocess_mead(args) -> int:
                   "RANDOM-init (smoke semantics)", file=sys.stderr)
             fan = FanLandmarkNet(num_modules=1, depth=2, stem_features=8,
                                  features=16)
+            fan_size = None  # tiny net accepts any /4 size; skip the resize
             fan_vars = fan.init(jax.random.PRNGKey(1),
                                 jnp.zeros((1, S, S, 3)))
-        detector = FanLandmarkDetector(fan, fan_vars, max_b=args.max_b)
+        detector = FanLandmarkDetector(fan, fan_vars, max_b=args.max_b,
+                                       input_size=fan_size)
     if args.full_frames and detector is None:
         raise SystemExit("--full-frames needs --fan-ckpt or --fan-detect")
     parser = None

@@ -13,6 +13,40 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 
+def chunked_apply(fn: Callable, frames: np.ndarray, max_b: int):
+    """Run ``fn`` over ``frames`` in fixed-size chunks of ``max_b``.
+
+    The tail chunk is padded by repeating the last frame so EVERY dispatch
+    reuses one compiled executable (the pad-to-chunk pattern of
+    Preprocessors.py:381-405 — ragged tails would re-trace and, through the
+    axon tunnel, re-pay a 10 s - 3 min compile per distinct length).
+
+    ``fn(chunk) -> array | tuple[array, ...]``; outputs are sliced back to
+    the true length and concatenated over the leading axis."""
+    T = frames.shape[0]
+    if T == 0:
+        raise ValueError("chunked_apply: empty frame batch")
+    outs: List[Any] = []
+    for i in range(0, T, max_b):
+        chunk = frames[i : i + max_b]
+        n = chunk.shape[0]
+        if n < max_b:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], max_b - n, axis=0)])
+        res = fn(chunk)
+        if isinstance(res, dict):
+            outs.append({k: np.asarray(v)[:n] for k, v in res.items()})
+        else:
+            if not isinstance(res, tuple):
+                res = (res,)
+            outs.append(tuple(np.asarray(r)[:n] for r in res))
+    if isinstance(outs[0], dict):
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    cat = tuple(np.concatenate([o[k] for o in outs])
+                for k in range(len(outs[0])))
+    return cat if len(cat) > 1 else cat[0]
+
+
 def pad_to_bucket(
     x: np.ndarray, buckets: Sequence[int], axis: int = 0
 ) -> np.ndarray:

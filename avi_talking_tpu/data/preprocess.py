@@ -47,17 +47,11 @@ class EmocaPreprocessor:
         tails; Preprocessors.py:381-405)."""
         import jax.numpy as jnp
 
-        T = frames.shape[0]
-        outs = []
-        for i in range(0, T, self.max_b):
-            chunk = frames[i : i + self.max_b]
-            n = chunk.shape[0]
-            if n < self.max_b:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], self.max_b - n, axis=0)])
-            codes = self._apply(self.variables, jnp.asarray(chunk))
-            outs.append({k: np.asarray(v)[:n] for k, v in codes.items()})
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        from .batching import chunked_apply
+
+        return chunked_apply(
+            lambda c: self._apply(self.variables, jnp.asarray(c)),
+            frames, self.max_b)
 
     def pseudo_gt(
         self,
@@ -202,7 +196,6 @@ def preprocess_clip_folder(
     paths = sorted(glob.glob(os.path.join(src_dir, "*.png")))
     if not paths:
         return None
-    frames = np.stack([read_image_normalized(p) for p in paths]) * 0.5 + 0.5
     validity = None
     vp = os.path.join(src_dir, "validity.npy")
     if os.path.exists(vp):
@@ -213,13 +206,34 @@ def preprocess_clip_folder(
             raise ValueError("crop_full_frames needs a landmark detector")
         from .facecrop import detect_and_crop
 
-        frames, det_lmk, det_val = detect_and_crop(
-            detector, frames, out_size=crop_size, scale=crop_scale,
-            box_detector=box_detector)
+        # decode + detect + crop in max_b chunks: full-res frames live on
+        # host only one chunk at a time (a 900-frame 1080p clip would be
+        # ~22 GB decoded at once) and every device dispatch reuses one
+        # (max_b, H, W) executable instead of re-tracing per clip length
+        blk = pre.max_b
+        crops, lmks, vals = [], [], []
+        for i in range(0, len(paths), blk):
+            ps = paths[i : i + blk]
+            n = len(ps)
+            ps = ps + [ps[-1]] * (blk - n)
+            full = np.stack(
+                [read_image_normalized(p) for p in ps]) * 0.5 + 0.5
+            c, l, v = detect_and_crop(
+                detector, full, out_size=crop_size, scale=crop_scale,
+                box_detector=box_detector)
+            crops.append(c[:n])
+            lmks.append(l[:n])
+            vals.append(v[:n])
+        frames = np.concatenate(crops)
+        det_lmk = np.concatenate(lmks)
+        det_val = np.concatenate(vals)
         if validity is None:
             s = det_val.sum()
             validity = det_val if np.isfinite(s) and s > 0 else None
-    elif detector is not None:
+    else:
+        frames = np.stack(
+            [read_image_normalized(p) for p in paths]) * 0.5 + 0.5
+    if not crop_full_frames and detector is not None:
         det_lmk, det_scores = detector(frames)
         if validity is None:
             validity = np.clip(det_scores.mean(-1), 0.0, None)

@@ -213,17 +213,12 @@ class FaceParser:
         self._fwd = jax.jit(fwd)
 
     def __call__(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        from ..data.batching import chunked_apply
+
         T, H, W = frames.shape[:3]
-        segs = []
-        for i in range(0, T, self.max_b):
-            chunk = frames[i : i + self.max_b]
-            n = chunk.shape[0]
-            if n < self.max_b:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], self.max_b - n, axis=0)])
-            segs.append(np.asarray(
-                self._fwd(self.variables, jnp.asarray(chunk)))[:n])
-        seg = np.concatenate(segs).astype(np.uint8)  # (T, size, size)
+        seg = chunked_apply(
+            lambda c: self._fwd(self.variables, jnp.asarray(c)),
+            frames, self.max_b).astype(np.uint8)  # (T, size, size)
         if (H, W) != (self.size, self.size):
             yi = np.clip(np.round(np.linspace(0, self.size - 1, H)), 0,
                          self.size - 1).astype(np.int64)

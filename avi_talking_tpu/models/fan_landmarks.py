@@ -47,6 +47,13 @@ class FanHourGlass(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.features
+        if x.shape[1] % (2 ** self.depth) or x.shape[2] % (2 ** self.depth):
+            raise ValueError(
+                f"FanHourGlass(depth={self.depth}) needs spatial dims "
+                f"divisible by {2 ** self.depth}, got {x.shape[1:3]} — feed "
+                "the detector 256px crops (FaceDetector.py:147-151; "
+                "FanLandmarkDetector resizing or facecrop stage-1 does this)"
+            )
 
         def level(inp, lvl):
             up1 = ConvBlock(f, f, self.dtype, name=f"b1_{lvl}")(inp, train)
@@ -150,15 +157,28 @@ class FanLandmarkDetector:
     (FaceDetector.py:142) — we additionally map to [-1, 1]."""
 
     def __init__(self, model: FanLandmarkNet, variables: Dict,
-                 max_b: int = 16):
+                 max_b: int = 16, input_size: int = None):
+        """``input_size``: resize frames to this side before the net (the
+        real 2DFAN4 wants 256 — FaceDetector.optimal_landmark_detector_im_
+        size; its depth-4 hourglass rejects e.g. 224). None = feed as-is
+        (tiny test configs). Landmarks are NDC either way."""
         self.model = model
         self.variables = variables
         self.max_b = max_b
+        self.input_size = input_size
 
         def fwd(v, x):
-            pts, scores = decode_heatmaps(model.apply(v, x, train=False))
-            # heatmap px -> input px (x4) -> [0,1] -> [-1,1]
-            rel = pts * 4.0 / x.shape[1]
+            if input_size and x.shape[1:3] != (input_size, input_size):
+                x = jax.image.resize(
+                    x, (x.shape[0], input_size, input_size, 3), "bilinear")
+            hm = model.apply(v, x, train=False)
+            pts, scores = decode_heatmaps(hm)
+            # heatmap px -> [0,1] per axis -> [-1,1]: normalising by the
+            # ACTUAL heatmap dims (not input/4) stays exact when the stem
+            # floors an odd size and for non-square crops; for the
+            # canonical 256 -> 64 case this equals the reference's
+            # pts * 4 / 256 (FaceDetector.py:142)
+            rel = pts / jnp.asarray([hm.shape[2], hm.shape[1]], jnp.float32)
             return rel * 2.0 - 1.0, scores
 
         self._fwd = jax.jit(fwd)
@@ -166,19 +186,12 @@ class FanLandmarkDetector:
     def __call__(self, frames) -> Tuple[Any, Any]:
         import numpy as np
 
-        T = frames.shape[0]
-        lmk, sc = [], []
-        for i in range(0, T, self.max_b):
-            chunk = frames[i : i + self.max_b]
-            n = chunk.shape[0]
-            if n < self.max_b:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], self.max_b - n, axis=0)])
-            l, s = self._fwd(self.variables, jnp.asarray(chunk))
-            lmk.append(np.asarray(l)[:n])
-            sc.append(np.asarray(s)[:n])
-        return (np.concatenate(lmk).astype(np.float32),
-                np.concatenate(sc).astype(np.float32))
+        from ..data.batching import chunked_apply
+
+        lmk, sc = chunked_apply(
+            lambda c: self._fwd(self.variables, jnp.asarray(c)),
+            frames, self.max_b)
+        return lmk.astype(np.float32), sc.astype(np.float32)
 
 
 # ----- torch import --------------------------------------------------------

@@ -162,17 +162,25 @@ class SfdDetector:
     MEAN = np.array([104.0, 117.0, 123.0], np.float32)
 
     def __init__(self, variables: Dict, threshold: float = 0.5,
-                 nms_iou: float = 0.3, candidate_floor: float = 0.05):
+                 nms_iou: float = 0.3, candidate_floor: float = 0.05,
+                 max_b: int = 4):
         self.model = S3FD()
         self.variables = variables
         self.threshold = threshold
         self.nms_iou = nms_iou
         self.candidate_floor = candidate_floor
-        self._fwd = jax.jit(lambda v, x: self.model.apply(v, x))
+        self.max_b = max_b  # VGG16 at full-frame res is activation-heavy:
+        # chunk so one (max_b, H, W) executable is reused across the clip
+        self._fwd = jax.jit(
+            lambda v, x: self.model.apply(
+                v, x * 255.0 - jnp.asarray(self.MEAN)))
 
     def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
-        x = jnp.asarray(frames) * 255.0 - jnp.asarray(self.MEAN)
-        olist = [np.asarray(o) for o in self._fwd(self.variables, x)]
+        from ..data.batching import chunked_apply
+
+        olist = chunked_apply(
+            lambda c: tuple(self._fwd(self.variables, jnp.asarray(c))),
+            frames, self.max_b)
         T = frames.shape[0]
         results = []
         for t in range(T):
@@ -226,6 +234,8 @@ def sfd_params_from_torch(sd: Mapping[str, Any]) -> Dict[str, Any]:
     OIHW -> HWIO, L2Norm per-channel weights)."""
     from ..infra.torch_compat import to_np
 
+    if "state_dict" in sd and not any(k.startswith("conv1_1") for k in sd):
+        sd = sd["state_dict"]
     P: Dict[str, Any] = {}
     for key in sd:
         mod = key.rsplit(".", 1)[0]

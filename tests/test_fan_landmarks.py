@@ -206,6 +206,53 @@ def test_detector_chunked_equals_oneshot_and_hits_gaussian_peaks():
     assert np.isfinite(s3).all()
 
 
+def test_hourglass_rejects_indivisible_size_with_clear_error():
+    net = FanLandmarkNet(num_modules=1, depth=2, stem_features=8,
+                         features=16, n_landmarks=4)
+    with pytest.raises(ValueError, match="divisible"):
+        # 36 -> stem gives 9x9, not divisible by 2^depth=4
+        net.init(jax.random.PRNGKey(0), jnp.zeros((1, 36, 36, 3)))
+
+
+def test_detector_input_size_resizes_and_keeps_ndc():
+    """input_size=32 (the real 2DFAN4 uses 256): a 224-style odd input is
+    resized before the net instead of crashing the hourglass, and NDC
+    landmarks refer to the ORIGINAL frame."""
+    net = FanLandmarkNet(num_modules=1, depth=2, stem_features=8,
+                         features=16, n_landmarks=4)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.default_rng(4)
+    frames_small = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    det = FanLandmarkDetector(net, v, max_b=2, input_size=32)
+    # 36px frames would crash without the resize (9x9 stem map)
+    import jax as _jax
+
+    frames_odd = np.asarray(_jax.image.resize(
+        jnp.asarray(frames_small), (2, 36, 36, 3), "bilinear"))
+    lmk, sc = det(frames_odd)
+    assert lmk.shape == (2, 4, 2) and np.abs(lmk).max() <= 1.0
+    assert np.isfinite(sc).all()
+    # without input_size the odd frame crashes in the hourglass
+    with pytest.raises(ValueError, match="divisible"):
+        FanLandmarkDetector(net, v, max_b=2)(frames_odd)
+
+
+def test_chunked_apply_shared_helper():
+    from avi_talking_tpu.data.batching import chunked_apply
+
+    frames = np.arange(10, dtype=np.float32).reshape(5, 2)
+    # tuple output
+    a, b = chunked_apply(lambda c: (c * 2, c.sum(-1)), frames, 2)
+    np.testing.assert_allclose(a, frames * 2)
+    np.testing.assert_allclose(b, frames.sum(-1))
+    # dict output
+    d = chunked_apply(lambda c: {"x": c + 1}, frames, 3)
+    np.testing.assert_allclose(d["x"], frames + 1)
+    # empty input fails loudly
+    with pytest.raises(ValueError, match="empty"):
+        chunked_apply(lambda c: c, frames[:0], 2)
+
+
 def test_preprocess_with_detector_writes_landmarks_and_validity(tmp_path):
     """preprocess_clip_folder(detector=...) detects landmarks in-framework:
     landmarks.npy + validity.npy written, validity drives the shape

@@ -162,6 +162,20 @@ def test_nms_suppresses_overlaps_keeps_disjoint():
     assert keep == [0, 2]
 
 
+def test_sfd_importer_unwraps_state_dict_nesting():
+    gen = torch.Generator().manual_seed(1)
+    oracle = TS3FD()
+    for p in oracle.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+    flat = sfd_params_from_torch(oracle.state_dict())
+    nested = sfd_params_from_torch({"state_dict": oracle.state_dict()})
+    np.testing.assert_allclose(
+        flat["params"]["conv1_1"]["kernel"],
+        nested["params"]["conv1_1"]["kernel"])
+    assert flat["params"].keys() == nested["params"].keys()
+
+
 def test_sfd_detector_flow_and_best_box_fallback():
     """Random-weight detector: output structure, thresholding, and the
     best_box previous-frame fallback."""
