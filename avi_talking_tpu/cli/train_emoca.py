@@ -342,6 +342,7 @@ def cmd_preprocess_mead(args) -> int:
             write_detections=not args.no_detections, flame=flame,
             detector=detector, crop_full_frames=args.full_frames,
             crop_size=S, crop_scale=args.crop_scale,
+            crop_smooth_sigma=args.crop_smooth_sigma,
             box_detector=box_detector, parser=parser)
         if out:
             done += 1
@@ -380,6 +381,10 @@ def register(sub, common):
                          "(requires --fan-ckpt or --fan-detect)")
     pm.add_argument("--crop-scale", type=float, default=1.25,
                     help="face-box scale for --full-frames (reference 1.25)")
+    pm.add_argument("--crop-smooth-sigma", type=float, default=3.0,
+                    help="gaussian smoothing of the face-box track over "
+                         "time (reference sigma=3; 0 disables) — "
+                         "interpolates over failed detections first")
     pm.add_argument("--sfd-ckpt", default=None,
                     help="S3FD torch weights: stage-1 face-box detection "
                          "before FAN (for frames where the face does not "

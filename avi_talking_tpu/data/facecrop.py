@@ -134,6 +134,28 @@ def detect_and_crop(
     the crop -> landmarks mapped back to full-frame pixels. Without it,
     FAN runs on the whole (resized) frame — fine when the face dominates
     the frame (talking-head footage), required detector-free."""
+    lmk_px, scores = detect_fullframe_landmarks(detector, frames,
+                                                box_detector=box_detector)
+    old_size, center = bbox2point_kpt68(lmk_px)
+    size = (old_size * scale).astype(np.float32)
+    if smooth_boxes:
+        size = np.full_like(size, float(np.median(size)))
+        center = np.broadcast_to(
+            np.median(center, axis=0, keepdims=True), center.shape).copy()
+    crops = warp_crop(frames, center, size, out_size)
+    crop_lmk = landmarks_to_crop_space(lmk_px, center, size, out_size)
+    validity = np.clip(scores.mean(-1), 0.0, None).astype(np.float32)
+    return crops.astype(np.float32), crop_lmk, validity
+
+
+def detect_fullframe_landmarks(
+    detector, frames: np.ndarray, box_detector=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full frames -> (landmark pixels (T, 68, 2), scores (T, 68)).
+
+    The detection half of ``detect_and_crop`` — factored out so callers
+    that need the WHOLE clip's track (e.g. temporal smoothing) can detect
+    in chunks, assemble the track, then crop in a second pass."""
     import jax
     import jax.numpy as jnp
 
@@ -163,13 +185,39 @@ def detect_and_crop(
         # -> full-frame pixels
         rel = (lmk_ndc + 1.0) / 2.0
         lmk_px = np.stack([rel[..., 0] * (W - 1), rel[..., 1] * (H - 1)], -1)
-    old_size, center = bbox2point_kpt68(lmk_px)
-    size = (old_size * scale).astype(np.float32)
-    if smooth_boxes:
-        size = np.full_like(size, float(np.median(size)))
-        center = np.broadcast_to(
-            np.median(center, axis=0, keepdims=True), center.shape).copy()
-    crops = warp_crop(frames, center, size, out_size)
-    crop_lmk = landmarks_to_crop_space(lmk_px, center, size, out_size)
-    validity = np.clip(scores.mean(-1), 0.0, None).astype(np.float32)
-    return crops.astype(np.float32), crop_lmk, validity
+    return lmk_px.astype(np.float32), scores
+
+
+def smooth_track(
+    center: np.ndarray,  # (T, 2)
+    size: np.ndarray,  # (T,)
+    validity: Optional[np.ndarray] = None,  # (T,) 0 = failed detection
+    sigma: float = 3.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Temporally stabilise a face-box track (FaceVideoDataModule's
+    detection alignment, :2830-2868: interpolate over failed-detection
+    gaps, then gaussian_filter1d(sigma=3) on centers and sizes — the
+    reference RBF-interpolates; linear interpolation over the gap frames
+    serves the same role without the scipy RBF machinery). Per-frame
+    crops jitter with detector noise; the smoothed track keeps the crop
+    stable so downstream pseudo-GT/PIRender sequences don't inherit the
+    jitter."""
+    from scipy.ndimage import gaussian_filter1d
+
+    T = center.shape[0]
+    center = center.astype(np.float64).copy()
+    size = size.astype(np.float64).copy()
+    if validity is not None:
+        good = np.asarray(validity) > 0
+        if good.any() and not good.all():
+            t = np.arange(T)
+            for d in range(2):
+                center[:, d] = np.interp(t, t[good], center[good, d])
+            size = np.interp(t, t[good], size[good])
+        # all-bad tracks fall through unmodified (caller handles validity)
+    if sigma > 0 and T > 1:
+        for d in range(2):
+            center[:, d] = gaussian_filter1d(center[:, d], sigma=sigma,
+                                             mode="nearest")
+        size = gaussian_filter1d(size, sigma=sigma, mode="nearest")
+    return center.astype(np.float32), size.astype(np.float32)

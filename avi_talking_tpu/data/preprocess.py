@@ -166,6 +166,7 @@ def preprocess_clip_folder(
     crop_full_frames: bool = False,
     crop_size: int = 224,
     crop_scale: float = 1.25,
+    crop_smooth_sigma: float = 0.0,  # reference uses gaussian sigma=3
     box_detector=None,  # models.sfd.SfdDetector (stage-1 face boxes)
     parser=None,  # models.bisenet.FaceParser (photometric seg masks)
 ) -> Optional[str]:
@@ -204,29 +205,55 @@ def preprocess_clip_folder(
     if crop_full_frames:
         if detector is None:
             raise ValueError("crop_full_frames needs a landmark detector")
-        from .facecrop import detect_and_crop
+        from .facecrop import (
+            bbox2point_kpt68,
+            detect_fullframe_landmarks,
+            landmarks_to_crop_space,
+            smooth_track,
+            warp_crop,
+        )
 
-        # decode + detect + crop in max_b chunks: full-res frames live on
-        # host only one chunk at a time (a 900-frame 1080p clip would be
-        # ~22 GB decoded at once) and every device dispatch reuses one
-        # (max_b, H, W) executable instead of re-tracing per clip length
+        # two chunked passes over the clip: (1) detect the landmark track,
+        # (2) warp-crop from the (optionally smoothed) box track. Full-res
+        # frames live on host only one max_b chunk at a time (a 900-frame
+        # 1080p clip would be ~22 GB decoded at once) and every device
+        # dispatch reuses one (max_b, H, W) executable instead of
+        # re-tracing per clip length.
         blk = pre.max_b
-        crops, lmks, vals = [], [], []
-        for i in range(0, len(paths), blk):
-            ps = paths[i : i + blk]
-            n = len(ps)
-            ps = ps + [ps[-1]] * (blk - n)
-            full = np.stack(
-                [read_image_normalized(p) for p in ps]) * 0.5 + 0.5
-            c, l, v = detect_and_crop(
-                detector, full, out_size=crop_size, scale=crop_scale,
-                box_detector=box_detector)
-            crops.append(c[:n])
+
+        def _chunks():
+            for i in range(0, len(paths), blk):
+                ps = paths[i : i + blk]
+                n = len(ps)
+                ps = ps + [ps[-1]] * (blk - n)
+                yield n, np.stack(
+                    [read_image_normalized(p) for p in ps]) * 0.5 + 0.5
+
+        lmks, scs = [], []
+        for n, full in _chunks():
+            l, s = detect_fullframe_landmarks(detector, full,
+                                              box_detector=box_detector)
             lmks.append(l[:n])
-            vals.append(v[:n])
-        frames = np.concatenate(crops)
-        det_lmk = np.concatenate(lmks)
-        det_val = np.concatenate(vals)
+            scs.append(s[:n])
+        lmk_px = np.concatenate(lmks)
+        scores = np.concatenate(scs)
+        det_val = np.clip(scores.mean(-1), 0.0, None).astype(np.float32)
+        old_size, center = bbox2point_kpt68(lmk_px)
+        size = (old_size * crop_scale).astype(np.float32)
+        if crop_smooth_sigma > 0:
+            center, size = smooth_track(center, size, validity=det_val,
+                                        sigma=crop_smooth_sigma)
+        crops = []
+        for n, full in _chunks():
+            i = sum(c.shape[0] for c in crops)
+            cb, sb = center[i : i + blk], size[i : i + blk]
+            if cb.shape[0] < blk:  # padded tail: repeat the last box
+                pad = blk - cb.shape[0]
+                cb = np.concatenate([cb, np.repeat(cb[-1:], pad, axis=0)])
+                sb = np.concatenate([sb, np.repeat(sb[-1:], pad, axis=0)])
+            crops.append(warp_crop(full, cb, sb, crop_size)[:n])
+        frames = np.concatenate(crops).astype(np.float32)
+        det_lmk = landmarks_to_crop_space(lmk_px, center, size, crop_size)
         if validity is None:
             s = det_val.sum()
             validity = det_val if np.isfinite(s) and s > 0 else None

@@ -162,6 +162,68 @@ def test_detect_and_crop_with_box_detector_two_stage():
     np.testing.assert_allclose(lmk, got, atol=1e-4)
 
 
+def test_smooth_track_interpolates_gaps_and_smooths():
+    from avi_talking_tpu.data.facecrop import smooth_track
+
+    T = 20
+    center = np.stack([np.linspace(10, 30, T),
+                       np.full(T, 50.0)], -1).astype(np.float32)
+    size = np.full(T, 40.0, np.float32)
+    # inject a failed-detection outlier at t=10
+    noisy_c = center.copy()
+    noisy_c[10] = [500.0, -200.0]
+    noisy_s = size.copy()
+    noisy_s[10] = 999.0
+    validity = np.ones(T, np.float32)
+    validity[10] = 0.0
+    sc, ss = smooth_track(noisy_c, noisy_s, validity, sigma=2.0)
+    # the outlier is interpolated away, not smeared into its neighbours
+    assert abs(sc[10, 0] - center[10, 0]) < 1.0
+    assert abs(ss[10] - 40.0) < 0.5
+    assert np.abs(ss - 40.0).max() < 0.5
+    # a linear track stays (nearly) linear under gaussian smoothing away
+    # from the clip boundaries (mode='nearest' flattens the ends slightly)
+    assert np.abs(sc[4:-4, 0] - center[4:-4, 0]).max() < 0.1
+    # sigma=0, all-valid: identity
+    c0, s0 = smooth_track(center, size, None, sigma=0.0)
+    np.testing.assert_allclose(c0, center, atol=1e-6)
+    np.testing.assert_allclose(s0, size, atol=1e-6)
+
+
+def test_preprocess_full_frames_smoothing_two_pass(tmp_path):
+    """The two-pass full-frames path (detect track -> smooth -> crop)
+    produces the same folder layout, and sigma=0 keeps results consistent
+    with the unsmoothed single-pass semantics."""
+    from avi_talking_tpu.data.preprocess import (
+        EmocaPreprocessor, preprocess_clip_folder)
+    from avi_talking_tpu.models.emoca import EmocaEncoder
+    from avi_talking_tpu.models.fan_landmarks import (
+        FanLandmarkDetector, FanLandmarkNet)
+    from avi_talking_tpu.viz.pngio import write_png
+
+    rng = np.random.default_rng(6)
+    src = tmp_path / "clipS"
+    src.mkdir()
+    for t in range(5):
+        write_png(str(src / f"{t:03d}.png"),
+                  (rng.uniform(0, 1, (64, 64, 3)) * 255).astype(np.uint8))
+    enc = EmocaEncoder(n_exp=6)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    pre = EmocaPreprocessor(encoder=enc, variables=variables, max_b=2)
+    fan = FanLandmarkNet(num_modules=1, depth=2, stem_features=8,
+                         features=16)
+    det = FanLandmarkDetector(
+        fan, fan.init(jax.random.PRNGKey(1), jnp.zeros((1, 256, 256, 3))),
+        max_b=2)
+    for sigma, name in ((0.0, "raw"), (2.0, "smooth")):
+        clip = preprocess_clip_folder(
+            pre, str(src), str(tmp_path / name), crop_full_frames=True,
+            crop_size=32, crop_smooth_sigma=sigma, detector=det)
+        lmk = np.load(f"{clip}/landmarks.npy")
+        assert lmk.shape == (5, 68, 2)
+        assert np.load(f"{clip}/validity.npy").shape == (5,)
+
+
 def test_preprocess_full_frames_cli(tmp_path):
     """preprocess-mead --full-frames: full PNGs -> detect+crop -> folders
     with crop-sized detections, landmarks.npy, validity.npy."""
