@@ -155,7 +155,29 @@ def cmd_train_emoca(args) -> int:
         if args.checkpoint:
             from ..infra.checkpoint import restore_checkpoint
 
-            variables = restore_checkpoint(args.checkpoint, target=variables)
+            try:
+                variables = restore_checkpoint(args.checkpoint,
+                                               target=variables)
+            except Exception:
+                # coarse-stage checkpoint (saved by train-emoca without
+                # --detail: no detail tower in the tree) — graft it into
+                # the fresh detail init. This IS the documented coarse ->
+                # detail staging (DECA trains the detail stage on a frozen
+                # pretrained coarse tower, DECA.py:2033).
+                coarse = _Enc(n_exp=flame.n_exp)
+                ctarget = coarse.init(jax.random.PRNGKey(args.seed),
+                                      jnp.zeros((1, S, S, 3)))
+                restored = restore_checkpoint(args.checkpoint,
+                                              target=ctarget)
+                variables = {
+                    col: {**dict(variables[col]), **dict(restored[col])}
+                    for col in variables}
+                print("train-emoca --detail: grafted coarse checkpoint "
+                      "into the detail-stage tree", file=sys.stderr)
+        if args.exp_only or args.emo_loss or args.emonet_checkpoint:
+            print("train-emoca --detail: --exp-only/--emo-loss/"
+                  "--emonet-checkpoint are coarse-stage flags and are "
+                  "IGNORED by the detail stage", file=sys.stderr)
         gen_d = DetailGenerator(latent_dim=3 + flame.n_exp + n_detail,
                                 init_size=2 if args.tiny else 8)
         gvars = gen_d.init(jax.random.PRNGKey(args.seed + 1),

@@ -175,8 +175,14 @@ class MeadEmocaDataset:
             if "_neutral_" in base:
                 ident = base.split("_")[0]
                 self._neutral_by_id.setdefault(ident, clip["name"])
-        # stats default to identity, sized lazily from the first coeff so
-        # non-standard code dims (e.g. tiny preprocess-mead output) load too
+        # stats default to identity, sized from the first clip's coeff so
+        # non-standard code dims (e.g. tiny preprocess-mead output) load
+        # too — materialised here so `ds.stats` is usable right after
+        # construction (callers normalize/save without iterating first)
+        if self.stats is None and self.index:
+            codes = self._load_codes(self.index[0]["frames"][:1])
+            self.stats = CoeffStats.identity(
+                self._raw_coeff(codes).shape[-1])
 
     def __len__(self) -> int:
         return len(self.index)

@@ -96,6 +96,14 @@ class _HashTokenizer:
         return out
 
 
+def _fold_ids(tokenize, vocab_size: int):
+    """Wrap a tokenizer so out-of-range ids fold into the text tower's
+    vocab (tiny/self-trained configs; ids are immaterial there, but an
+    out-of-range embedding gather clamps silently on XLA). One shared
+    helper so every load_tokenizer path folds identically."""
+    return lambda texts: np.asarray(tokenize(texts)) % vocab_size
+
+
 def load_tokenizer(
     vocab_size: int,
     max_length: int,
@@ -130,7 +138,7 @@ def load_tokenizer(
         # tiny test configs: keep the real tokenization but fold ids into
         # range (ids are immaterial with random weights; out-of-range ids
         # would NaN the embedding gather)
-        return lambda texts, _t=tok: tok(texts) % vocab_size
+        return _fold_ids(tok, vocab_size)
     try:
         from transformers import CLIPTokenizer
 
@@ -145,7 +153,9 @@ def load_tokenizer(
             )
             return enc["input_ids"].astype(np.int32)
 
-        return tokenize
+        # same id-fold guard as the other paths: a tiny text tower must
+        # not gather OpenAI-range ids (XLA clamps silently)
+        return _fold_ids(tokenize, vocab_size)
     except Exception:
         pass
     if require_real:
@@ -169,7 +179,7 @@ def load_tokenizer(
         tok = _Tok.from_dir(default_dir, max_length=max_length)
         if tok.vocab_size <= vocab_size:
             return tok
-        return lambda texts, _t=tok: tok(texts) % vocab_size
+        return _fold_ids(tok, vocab_size)
     import warnings
 
     warnings.warn(

@@ -67,10 +67,21 @@ def light_reg(lightcode: jax.Array) -> jax.Array:
     return jnp.mean((mean - lightcode) ** 2)
 
 
-def kl_loss(texcode: jax.Array) -> jax.Array:
-    """Texture-VAE KL (DecaLosses.py:25-36): first 128 dims mu, rest
-    logvar; -0.5 * sum(1 + logvar - mu^2 - exp(logvar))."""
-    mu, logvar = texcode[:, :128], texcode[:, 128:]
+def kl_loss(texcode: jax.Array, mu_dim: int = 128) -> jax.Array:
+    """Texture-VAE KL (DecaLosses.py:25-36): first ``mu_dim`` dims mu, the
+    rest logvar; -0.5 * sum(1 + logvar - mu^2 - exp(logvar)).
+
+    The reference's VAE texcode is 256-d (mu_dim=128). This framework's
+    coarse tower emits a 50-d PCA texcode, which is NOT a VAE code —
+    callers wiring this loss must pass the matching ``mu_dim``; a code
+    narrower than mu_dim fails loudly instead of broadcasting garbage."""
+    if texcode.shape[-1] <= mu_dim:
+        raise ValueError(
+            f"kl_loss expects a [mu|logvar] code wider than mu_dim="
+            f"{mu_dim}, got {texcode.shape[-1]}-d (the coarse tower's PCA "
+            "texcode is not a VAE code — this loss only applies to "
+            "VAE-texture configs, DecaLosses.py:25)")
+    mu, logvar = texcode[:, :mu_dim], texcode[:, mu_dim:]
     kld = 1.0 + logvar - mu**2 - jnp.exp(logvar)
     return -0.5 * jnp.sum(kld)
 

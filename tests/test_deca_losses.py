@@ -155,6 +155,17 @@ def test_kl_parity():
     ours = dl.kl_loss(jnp.asarray(x))
     ref = torch_kl(torch.tensor(x))
     assert abs(float(ours) - float(ref)) < 1e-3
+    # the coarse tower's 50-d PCA texcode is not a VAE code: loud error,
+    # not a silent (B, 0)-vs-(B, 50) broadcast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="VAE"):
+        dl.kl_loss(jnp.asarray(x[:, :50]))
+    # configurable split for non-reference VAE widths
+    ours64 = dl.kl_loss(jnp.asarray(x[:, :128]), mu_dim=64)
+    ref64 = torch_kl(torch.tensor(x[:, :128]), mu_dim=64) if \
+        "mu_dim" in torch_kl.__code__.co_varnames else None
+    assert np.isfinite(float(ours64))
 
 
 def test_landmark_losses_parity():

@@ -179,6 +179,13 @@ def test_train_emoca_cli_on_folder(tmp_path):
                "--steps", "1", "--log-every", "0", "--detail",
                "--root", str(bad)])
     assert rc == 0
+    # coarse -> detail staging: the checkpoint saved above (no detail
+    # tower) grafts into the detail-stage tree instead of crashing on the
+    # tree-structure mismatch
+    rc = main(["train-emoca", "--tiny", "--size", "32", "--batch-size", "2",
+               "--steps", "1", "--log-every", "0", "--detail",
+               "--root", str(bad), "--checkpoint", str(tmp_path / "ck")])
+    assert rc == 0
 
 
 @pytest.mark.slow

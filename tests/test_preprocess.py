@@ -81,6 +81,36 @@ def test_landmark_export_uses_unzeroed_rotation(tmp_path):
     assert np.abs(lmk_raw - lmk_zero).max() > 1e-3
 
 
+def test_mead_stats_available_after_construction(tmp_path):
+    """ds.stats is usable right after construction (identity, sized from
+    the data) — callers normalize/save without iterating first."""
+    import jax
+    import jax.numpy as jnp
+
+    from avi_talking_tpu.data.mead import MeadEmocaDataset
+    from avi_talking_tpu.data.preprocess import (
+        EmocaPreprocessor, preprocess_clip_folder)
+    from avi_talking_tpu.models.emoca import EmocaEncoder
+    from avi_talking_tpu.viz.pngio import write_png
+
+    rng = np.random.default_rng(7)
+    src = tmp_path / "clipQ"
+    src.mkdir()
+    for t in range(3):
+        write_png(str(src / f"{t:03d}.png"),
+                  (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8))
+    enc = EmocaEncoder(n_exp=6)
+    pre = EmocaPreprocessor(
+        encoder=enc,
+        variables=enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))),
+        max_b=4)
+    preprocess_clip_folder(pre, str(src), str(tmp_path / "out"))
+    ds = MeadEmocaDataset(root=str(tmp_path / "out"), load_images=False)
+    assert ds.stats is not None
+    x = np.zeros((2, ds.stats.mean.shape[-1]), np.float32)
+    np.testing.assert_allclose(ds.stats.normalize(x), x)  # identity stats
+
+
 def test_preprocess_mead_cli_roundtrip(tmp_path):
     from avi_talking_tpu.cli import main
     from avi_talking_tpu.viz.pngio import write_png
