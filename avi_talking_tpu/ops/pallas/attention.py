@@ -67,44 +67,29 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
 def _attn_kernel_keybias(q_ref, k_ref, v_ref, kb_ref, o_ref):
     """Like _attn_kernel but the bias is a per-batch (S,) key bias (padding
     mask), broadcast across rows INSIDE the kernel — no (B, H, T, S)
-    materialisation in HBM. Processes a block of Hb heads per grid step
-    (batched dot_general): at small T the per-head MXU work is tiny and the
-    grid-step overhead dominates, so fusing heads amortises it."""
-    q = q_ref[:]  # (Hb, T, d)
-    k = k_ref[:]  # (Hb, S, d)
-    v = v_ref[:]  # (Hb, S, d)
+    materialisation in HBM. One (batch, head) per grid step, every op
+    rank-2: the (1, S) -> (T, S) broadcast-add is the r2-measured proven
+    pattern. (A head-batched rank-3 variant — batched dot_general +
+    (1, 1, S) broadcast — SIGABRTs Mosaic's ApplyVectorLayoutPass on real
+    TPU: vector_extract slice 69 vs dim 1 at T=S=552. An unrolled Hb-heads
+    -per-step variant compiled but measured SLOWER at its target shape,
+    B=4 T=200 H=12 d=64: 0.147 ms vs 0.097 ms hb=1 vs 0.074 ms XLA,
+    chained RTT-cancelled timing, v5e — head-batching is retired.)"""
+    q = q_ref[:]  # (T, d)
+    k = k_ref[:]  # (S, d)
+    v = v_ref[:]  # (S, d)
     kb = kb_ref[:]  # (1, S)
     scores = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (Hb, T, S)
-    scores = scores + kb[None].astype(jnp.float32)  # + (1, 1, S)
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores + kb.astype(jnp.float32)  # (T, S) + (1, S)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     weights = (e / denom).astype(v.dtype)
-    o_ref[:] = jax.lax.dot_general(
-        weights, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
-
-
-def _keybias_heads_per_step(H: int, T: int, S: int, d: int) -> int:
-    """Heads fused per grid step. Target ≥ ~256k fp32 score elements of work
-    per step so small-T shapes (B=4 T=200: 48 steps of 2×2.6 MFLOP each)
-    stop being grid-overhead-bound, while capping VMEM (scores fp32 +
-    3 operands) well under the ~16 MB/core budget. Always a divisor of H;
-    1 at the big shapes where the r2/r3-measured wins were taken (T=552
-    H=12 → target/(T*S) < 1), so those numbers are unchanged."""
-    target = max(1, (256 * 1024) // max(T * S, 1))
-    hb = min(H, target)
-    while H % hb:
-        hb -= 1
-    # VMEM cap: scores + q/k/v/o per step < 4 MB leaves room for pipelining
-    while hb > 1 and hb * (T * S * 4 + (3 * S + 2 * T) * d * 4) > 4 * 2**20:
-        hb -= 1
-        while H % hb:
-            hb -= 1
-    return max(hb, 1)
+    o_ref[:] = jnp.dot(weights, v, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -121,30 +106,24 @@ def fused_keybias_attention(
     mask is read as (S,) instead of a broadcast (B, H, T, S)."""
     B, H, T, d = q.shape
     S = k.shape[2]
-    hb = _keybias_heads_per_step(H, T, S, d)
-    g = B * H // hb  # grid steps; hb divides H so steps never span batches
-    qf = q.reshape(g, hb, T, d)
-    kf = k.reshape(g, hb, S, d)
-    vf = v.reshape(g, hb, S, d)
+    qf = q.reshape(B * H, T, d)
+    kf = k.reshape(B * H, S, d)
+    vf = v.reshape(B * H, S, d)
     kb = key_bias.reshape(B, 1, S)
-    hpb = H // hb  # grid steps per batch element
 
     out = pl.pallas_call(
         _attn_kernel_keybias,
-        grid=(g,),
+        grid=(B * H,),
         in_specs=[
-            pl.BlockSpec((None, hb, T, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, hb, S, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, hb, S, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, S), lambda i, hpb=hpb: (i // hpb, 0, 0),
+            pl.BlockSpec((None, T, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, S, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, S, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, S), lambda i, H=H: (i // H, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, hb, T, d), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((None, T, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, hb, T, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, d), q.dtype),
         interpret=interpret,
     )(qf, kf, vf, kb)
     return out.reshape(B, H, T, d)

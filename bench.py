@@ -352,85 +352,114 @@ def main():
           "frames_per_s_224_maxb32")
 
     # ---- Pallas key-bias attention vs XLA (wav2vec2 encoder hot spot) ----
-    from avi_talking_tpu.ops.pallas.attention import fused_keybias_attention
+    # Fault-isolated: a Mosaic/kernel regression must not kill the whole
+    # bench (r4: the head-batched grid SIGABRT'd the TPU compile helper and
+    # took every downstream metric with it).
+    def _attn_section():
+        from avi_talking_tpu.ops.pallas.attention import fused_keybias_attention
 
-    Ba, Ha, Ta, da = 16, 12, 552, 64
-    arng = np.random.default_rng(5)
-    qa = jnp.asarray(arng.standard_normal((Ba, Ha, Ta, da)), dtype) / (da ** 0.5)
-    ka = jnp.asarray(arng.standard_normal((Ba, Ha, Ta, da)), dtype)
-    va = jnp.asarray(arng.standard_normal((Ba, Ha, Ta, da)), dtype)
-    kb = jnp.asarray(
-        np.where(np.arange(Ta)[None] < arng.integers(Ta // 2, Ta, Ba)[:, None],
-                 0.0, -1e9).astype(np.float32))
+        Ba, Ha, Ta, da = 16, 12, 552, 64
+        arng = np.random.default_rng(5)
 
-    @jax.jit
-    def xla_attn(q, k, v, kb):
-        s = jnp.einsum("bhtd,bhsd->bhts", q, k,
-                       preferred_element_type=jnp.float32)
-        s = s + kb[:, None, None, :]
-        return jnp.einsum("bhts,bhsd->bhtd",
-                          jax.nn.softmax(s, axis=-1).astype(q.dtype), v)
+        @jax.jit
+        def xla_attn(q, k, v, kb):
+            s = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                           preferred_element_type=jnp.float32)
+            s = s + kb[:, None, None, :]
+            return jnp.einsum("bhts,bhsd->bhtd",
+                              jax.nn.softmax(s, axis=-1).astype(q.dtype), v)
 
-    def t_fn(fn, n=30):
-        out = fn()
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / n * 1e3
+        def t_chain(fn, q, k, v, kb, n1=40, n2=200):
+            """Two dependent-chain lengths (out feeds next q), differenced:
+            cancels the tunnel RTT + D2H fetch, leaving per-step device
+            time. Independent-dispatch timing reads ~RTT/n for kernels this
+            small (30 x 0.45 ms < one 35 ms round trip) and once measured
+            both sides at a bogus ~2.1 ms here."""
+            def run(n):
+                t0 = time.perf_counter()
+                x = q
+                for _ in range(n):
+                    x = fn(x, k, v, kb)
+                float(x[0, 0, 0, 0])  # real D2H sync (block_until_ready
+                # can return early through the axon tunnel)
+                return time.perf_counter() - t0
+            run(3)
+            return max((run(n2) - run(n1)) / (n2 - n1) * 1e3, 1e-6)
 
-    t_xa = t_fn(lambda: xla_attn(qa, ka, va, kb))
-    t_pa = t_fn(lambda: fused_keybias_attention(qa, ka, va, kb))
-    _emit("attn_encoder_xla_ms", round(t_xa, 3), "ms")
-    _emit("attn_encoder_pallas_ms", round(t_pa, 3), "ms", round(t_xa / t_pa, 2))
+        def shapes(B, T):
+            q = jnp.asarray(
+                arng.standard_normal((B, Ha, T, da)), dtype) / (da ** 0.5)
+            k = jnp.asarray(arng.standard_normal((B, Ha, T, da)), dtype)
+            v = jnp.asarray(arng.standard_normal((B, Ha, T, da)), dtype)
+            kb = jnp.asarray(np.where(
+                np.arange(T)[None] < arng.integers(T // 2, T, B)[:, None],
+                0.0, -1e9).astype(np.float32))
+            return q, k, v, kb
 
-    # flagship serving shape (B=4 T=200): the head-batched grid's target —
-    # r3 lost this one whole-model 8.7 vs 8.2 ms (VERDICT #8)
-    Bs, Ts = 4, 200
-    qs = jnp.asarray(arng.standard_normal((Bs, Ha, Ts, da)), dtype) / (da ** 0.5)
-    ks = jnp.asarray(arng.standard_normal((Bs, Ha, Ts, da)), dtype)
-    vs = jnp.asarray(arng.standard_normal((Bs, Ha, Ts, da)), dtype)
-    kbs = jnp.asarray(
-        np.where(np.arange(Ts)[None] < arng.integers(Ts // 2, Ts, Bs)[:, None],
-                 0.0, -1e9).astype(np.float32))
-    t_xs = t_fn(lambda: xla_attn(qs, ks, vs, kbs), n=100)
-    t_ps = t_fn(lambda: fused_keybias_attention(qs, ks, vs, kbs), n=100)
-    _emit("attn_serving_xla_ms", round(t_xs, 3), "ms")
-    _emit("attn_serving_pallas_ms", round(t_ps, 3), "ms", round(t_xs / t_ps, 2))
+        qa, ka, va, kba = shapes(Ba, Ta)
+        t_xa = t_chain(xla_attn, qa, ka, va, kba)
+        t_pa = t_chain(fused_keybias_attention, qa, ka, va, kba)
+        _emit("attn_encoder_xla_ms", round(t_xa, 3), "ms")
+        _emit("attn_encoder_pallas_ms", round(t_pa, 3), "ms",
+              round(t_xa / t_pa, 2))
+
+        # flagship serving shape (B=4 T=200): XLA's fusion wins here — the
+        # auto-gate keeps Pallas off below B*H*T = 48k (VERDICT #8 verdict:
+        # head-batching retired, see _attn_kernel_keybias docstring)
+        qs, ks, vs, kbs = shapes(4, 200)
+        t_xs = t_chain(xla_attn, qs, ks, vs, kbs)
+        t_ps = t_chain(fused_keybias_attention, qs, ks, vs, kbs)
+        _emit("attn_serving_xla_ms", round(t_xs, 3), "ms")
+        _emit("attn_serving_pallas_ms", round(t_ps, 3), "ms",
+              round(t_xs / t_ps, 2))
+
+    try:
+        _attn_section()
+    except Exception as e:  # pragma: no cover - TPU-compiler-dependent
+        _emit("attn_section_error", 1, "error", note=repr(e)[:300])
 
     # ---- Pallas rasterizer vs XLA binned (render-loss hot path) ----------
-    from avi_talking_tpu.core.projection import batch_orth_proj
-    from avi_talking_tpu.viz.rasterizer import (
-        rasterize_binned,
-        rasterize_binned_pallas,
-    )
+    def _raster_section():
+        from avi_talking_tpu.core.projection import batch_orth_proj
+        from avi_talking_tpu.viz.rasterizer import (
+            rasterize_binned,
+            rasterize_binned_pallas,
+        )
 
-    fcs = jnp.asarray(assets.faces)
-    proj = batch_orth_proj(
-        jnp.asarray(assets.v_template)[None], jnp.asarray([[8.0, 0.0, -0.01]])
-    )[0]
-    ndc = jnp.stack([proj[:, 0], -proj[:, 1], -proj[:, 2]], axis=-1)
-    nrm = jnp.asarray(
-        np.random.default_rng(2).standard_normal((5023, 3)).astype(np.float32))
+        fcs = jnp.asarray(assets.faces)
+        proj = batch_orth_proj(
+            jnp.asarray(assets.v_template)[None],
+            jnp.asarray([[8.0, 0.0, -0.01]]),
+        )[0]
+        ndc = jnp.stack([proj[:, 0], -proj[:, 1], -proj[:, 2]], axis=-1)
+        nrm = jnp.asarray(np.random.default_rng(2)
+                          .standard_normal((5023, 3)).astype(np.float32))
 
-    def t_raster(fn, n=20):
-        out = fn()
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / n * 1e3
+        def t_raster(fn, n=20):
+            # n x ~5-10 ms device time >> one tunnel RTT, so independent
+            # dispatch is honest here; the float() is a real D2H sync.
+            def sync(out):
+                float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+            sync(fn())
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn()
+            sync(out)
+            return (time.perf_counter() - t0) / n * 1e3
 
-    t_x = t_raster(jax.jit(
-        lambda: rasterize_binned(ndc, fcs, nrm, 256, 256, tile=32, cap=1024)))
-    t_p = t_raster(jax.jit(
-        lambda: rasterize_binned_pallas(ndc, fcs, nrm, 256, 256, tile=32,
-                                        cap=1024)))
-    _emit("raster_256_xla_binned_ms", round(t_x, 2), "ms_per_frame")
-    _emit("raster_256_pallas_ms", round(t_p, 2), "ms_per_frame",
-          round(t_x / t_p, 2))
+        t_x = t_raster(jax.jit(lambda: rasterize_binned(
+            ndc, fcs, nrm, 256, 256, tile=32, cap=1024)))
+        t_p = t_raster(jax.jit(lambda: rasterize_binned_pallas(
+            ndc, fcs, nrm, 256, 256, tile=32, cap=1024)))
+        _emit("raster_256_xla_binned_ms", round(t_x, 2), "ms_per_frame")
+        _emit("raster_256_pallas_ms", round(t_p, 2), "ms_per_frame",
+              round(t_x / t_p, 2))
+
+    try:
+        _raster_section()
+    except Exception as e:  # pragma: no cover - TPU-compiler-dependent
+        _emit("raster_section_error", 1, "error", note=repr(e)[:300])
 
 
 if __name__ == "__main__":

@@ -267,31 +267,19 @@ def test_keybias_attention_matches_xla_and_grads():
                                    atol=1e-4, rtol=1e-4)
 
 
-def test_keybias_head_batching_policy_and_parity():
-    """Head-batched grid steps: small-T shapes fuse several heads per Pallas
-    grid step (amortising step overhead), the measured-win big shapes keep
-    hb=1 so r2/r3 numbers are unchanged; parity holds when hb > 1 and heads
-    within one step never span batch elements (per-batch key bias)."""
+def test_keybias_distinct_per_batch_masks_parity():
+    """Parity with DISTINCT per-batch masks (catches any kb-to-grid-step
+    misalignment in the i // H index map). Head-batched grid steps were
+    tried and RETIRED: the rank-3 batched kernel SIGABRTs Mosaic on real
+    TPU, and the unrolled variant measured slower than hb=1 at its own
+    target shape (see _attn_kernel_keybias docstring for the numbers)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from avi_talking_tpu.ops.pallas.attention import (
-        _keybias_heads_per_step, fused_keybias_attention)
+    from avi_talking_tpu.ops.pallas.attention import fused_keybias_attention
 
-    # policy: small serving shape batches heads; measured-win shapes don't
-    assert _keybias_heads_per_step(12, 200, 200, 64) > 1
-    assert _keybias_heads_per_step(12, 552, 552, 64) == 1
-    assert _keybias_heads_per_step(8, 608, 608, 64) == 1
-    for H in (3, 4, 8, 12):
-        for T in (17, 50, 200):
-            hb = _keybias_heads_per_step(H, T, T, 64)
-            assert 1 <= hb <= H and H % hb == 0
-
-    # parity at an hb>1 shape with DISTINCT per-batch masks (catches any
-    # kb-to-step misalignment when several heads share one grid step)
     B, H, T, d = 3, 4, 24, 8
-    assert _keybias_heads_per_step(H, T, T, d) == 4
     rng = np.random.default_rng(7)
     q = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
