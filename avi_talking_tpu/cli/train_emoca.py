@@ -354,18 +354,38 @@ def cmd_preprocess_mead(args) -> int:
         else:
             flame = FlameModel(load_flame_assets(args.flame_npz, 100, 50),
                                n_shape=100, n_exp=50)
-    clips = sorted(
-        d for d in os.listdir(args.src)
-        if os.path.isdir(os.path.join(args.src, d)))
+    opts = dict(
+        write_detections=not args.no_detections, flame=flame,
+        detector=detector, crop_full_frames=args.full_frames,
+        crop_size=S, crop_scale=args.crop_scale,
+        crop_smooth_sigma=args.crop_smooth_sigma,
+        box_detector=box_detector, parser=parser)
+    if args.videos:
+        from ..data.preprocess import preprocess_clip_video
+        from ..data.videoio import have_ffmpeg
+
+        if not have_ffmpeg():
+            raise SystemExit(
+                "preprocess-mead --videos: ffmpeg not found on PATH — "
+                "video decode needs it; extract frames to PNG folders "
+                "and re-run without --videos")
+        exts = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+        clips = sorted(
+            f for f in os.listdir(args.src)
+            if f.lower().endswith(exts)
+            and os.path.isfile(os.path.join(args.src, f)))
+        runner = lambda clip: preprocess_clip_video(
+            pre, os.path.join(args.src, clip), args.out,
+            fps=args.fps if args.fps > 0 else None, **opts)
+    else:
+        clips = sorted(
+            d for d in os.listdir(args.src)
+            if os.path.isdir(os.path.join(args.src, d)))
+        runner = lambda clip: preprocess_clip_folder(
+            pre, os.path.join(args.src, clip), args.out, **opts)
     done = 0
     for clip in clips:
-        out = preprocess_clip_folder(
-            pre, os.path.join(args.src, clip), args.out,
-            write_detections=not args.no_detections, flame=flame,
-            detector=detector, crop_full_frames=args.full_frames,
-            crop_size=S, crop_scale=args.crop_scale,
-            crop_smooth_sigma=args.crop_smooth_sigma,
-            box_detector=box_detector, parser=parser)
+        out = runner(clip)
         if out:
             done += 1
             print(f"[{done}/{len(clips)}] {clip} -> {out}")
@@ -379,8 +399,16 @@ def register(sub, common):
         help="raw frame folders -> EMOCA-preprocessed MEAD layout")
     pm.add_argument("--src", required=True,
                     help="root of <clip>/*.png (+ optional <clip>/*.wav, "
-                         "validity.npy)")
+                         "validity.npy), or of video files with --videos")
     pm.add_argument("--out", required=True)
+    pm.add_argument("--videos", action="store_true",
+                    help="treat --src entries as VIDEO FILES (mp4/avi/...):"
+                         " decode through an ffmpeg rawvideo pipe "
+                         "(data.videoio), demux audio to 16 kHz wav; the "
+                         "reference's skvideo FaceVideoDataModule path")
+    pm.add_argument("--fps", type=float, default=25.0,
+                    help="with --videos: resample to this frame rate "
+                         "(reference trains at 25 fps); <=0 keeps source")
     pm.add_argument("--checkpoint", default=None,
                     help="EMOCA encoder weights: orbax dir or torch ckpt")
     pm.add_argument("--size", type=int, default=224)

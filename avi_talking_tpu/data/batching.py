@@ -13,7 +13,8 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 
-def chunked_apply(fn: Callable, frames: np.ndarray, max_b: int):
+def chunked_apply(fn: Callable, frames: np.ndarray, max_b: int,
+                  inflight: int = 2):
     """Run ``fn`` over ``frames`` in fixed-size chunks of ``max_b``.
 
     The tail chunk is padded by repeating the last frame so EVERY dispatch
@@ -21,25 +22,43 @@ def chunked_apply(fn: Callable, frames: np.ndarray, max_b: int):
     Preprocessors.py:381-405 — ragged tails would re-trace and, through the
     axon tunnel, re-pay a 10 s - 3 min compile per distinct length).
 
-    ``fn(chunk) -> array | tuple[array, ...]``; outputs are sliced back to
-    the true length and concatenated over the leading axis."""
+    Chunks are shipped with an explicit async ``jax.device_put`` (so ``fn``
+    receives a device array — a leading ``jnp.asarray`` inside ``fn`` is a
+    no-op) and up to ``inflight`` chunk results stay un-fetched while later
+    chunks are transferred/dispatched: the host-side fetch of chunk i
+    overlaps the H2D + compute of chunks i+1..i+inflight instead of paying
+    a full transfer->compute->fetch round trip per chunk (r4 measured the
+    per-chunk synchronous pattern at 3.5x the wire time of the frames).
+    ``inflight=0`` restores the fully synchronous behaviour.
+
+    ``fn(chunk) -> array | tuple[array, ...] | dict``; outputs are sliced
+    back to the true length and concatenated over the leading axis."""
+    import jax
+
     T = frames.shape[0]
     if T == 0:
         raise ValueError("chunked_apply: empty frame batch")
+    pending: List[Any] = []  # (n, device result) not yet fetched
     outs: List[Any] = []
+
+    def fetch(item):
+        n, res = item
+        if isinstance(res, dict):
+            return {k: np.asarray(v)[:n] for k, v in res.items()}
+        if not isinstance(res, tuple):
+            res = (res,)
+        return tuple(np.asarray(r)[:n] for r in res)
+
     for i in range(0, T, max_b):
         chunk = frames[i : i + max_b]
         n = chunk.shape[0]
         if n < max_b:
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], max_b - n, axis=0)])
-        res = fn(chunk)
-        if isinstance(res, dict):
-            outs.append({k: np.asarray(v)[:n] for k, v in res.items()})
-        else:
-            if not isinstance(res, tuple):
-                res = (res,)
-            outs.append(tuple(np.asarray(r)[:n] for r in res))
+        pending.append((n, fn(jax.device_put(chunk))))
+        while len(pending) > max(0, inflight):
+            outs.append(fetch(pending.pop(0)))
+    outs.extend(fetch(p) for p in pending)
     if isinstance(outs[0], dict):
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
     cat = tuple(np.concatenate([o[k] for o in outs])

@@ -60,6 +60,8 @@ def _warp_jit():
 
     @partial(jax.jit, static_argnums=(3,))
     def _warp(fr, c, s, S):
+        if fr.dtype == jnp.uint8:  # uint8 transport: normalise on device
+            fr = fr.astype(jnp.float32) / 255.0
         grid = jnp.arange(S, dtype=jnp.float32) / (S - 1)  # [0, 1]
 
         def one(img, ci, si):
@@ -177,8 +179,11 @@ def detect_fullframe_landmarks(
                   + (lmk_ndc + 1.0) / 2.0 * side0[:, None, None])
     else:
         if (H, W) != (det_size, det_size):
+            f = jnp.asarray(frames)
+            if f.dtype == jnp.uint8:  # uint8 transport: normalise on device
+                f = f.astype(jnp.float32) / 255.0
             det_in = np.asarray(jax.image.resize(
-                jnp.asarray(frames), (T, det_size, det_size, 3), "bilinear"))
+                f, (T, det_size, det_size, 3), "bilinear"))
         else:
             det_in = frames
         lmk_ndc, scores = detector(det_in)  # [-1,1] of the resized frame

@@ -205,6 +205,8 @@ class FaceParser:
         self.max_b = max_b
 
         def fwd(v, x):
+            if x.dtype == jnp.uint8:  # uint8 transport: normalise on device
+                x = x.astype(jnp.float32) / 255.0
             x = jax.image.resize(
                 x, (x.shape[0], size, size, 3), "bilinear")
             x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)

@@ -168,6 +168,8 @@ class FanLandmarkDetector:
         self.input_size = input_size
 
         def fwd(v, x):
+            if x.dtype == jnp.uint8:  # uint8 transport: normalise on device
+                x = x.astype(jnp.float32) / 255.0
             if input_size and x.shape[1:3] != (input_size, input_size):
                 x = jax.image.resize(
                     x, (x.shape[0], input_size, input_size, 3), "bilinear")

@@ -171,9 +171,13 @@ class SfdDetector:
         self.candidate_floor = candidate_floor
         self.max_b = max_b  # VGG16 at full-frame res is activation-heavy:
         # chunk so one (max_b, H, W) executable is reused across the clip
-        self._fwd = jax.jit(
-            lambda v, x: self.model.apply(
-                v, x * 255.0 - jnp.asarray(self.MEAN)))
+        def fwd(v, x):
+            # uint8 transport needs no x255 (already byte-scaled on device)
+            x = (x.astype(jnp.float32) if x.dtype == jnp.uint8
+                 else x * 255.0)
+            return self.model.apply(v, x - jnp.asarray(self.MEAN))
+
+        self._fwd = jax.jit(fwd)
 
     def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
         from ..data.batching import chunked_apply

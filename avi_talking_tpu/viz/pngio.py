@@ -208,12 +208,19 @@ def write_png(path: str, img_u8: np.ndarray) -> None:
         f.write(chunk(b"IEND", b""))
 
 
-def read_image_normalized(path: str) -> np.ndarray:
-    """(H, W, 3) float32 in [-1, 1] — the reference's to_Tensor contract
-    (data_loader.py:229-238) in NHWC layout."""
+def read_image_u8(path: str) -> np.ndarray:
+    """(H, W, 3) uint8 RGB — gray/alpha channels folded away. The byte-
+    transport reader: preprocessing ships these to the device as-is (4x
+    fewer wire bytes than fp32) and normalises on device."""
     img = read_png(path)
     if img.shape[-1] == 1:
         img = np.repeat(img, 3, axis=-1)
     elif img.shape[-1] in (2, 4):
         img = img[..., :3] if img.shape[-1] == 4 else np.repeat(img[..., :1], 3, -1)
-    return img.astype(np.float32) / 255.0 * 2.0 - 1.0
+    return img
+
+
+def read_image_normalized(path: str) -> np.ndarray:
+    """(H, W, 3) float32 in [-1, 1] — the reference's to_Tensor contract
+    (data_loader.py:229-238) in NHWC layout."""
+    return read_image_u8(path).astype(np.float32) / 255.0 * 2.0 - 1.0

@@ -52,6 +52,85 @@ def test_pseudo_gt_shape_average_and_zero_pose():
     assert np.allclose(raw2["pose"], raw["pose"])  # unzeroed
 
 
+def test_yuv420_roundtrip_and_device_unpack():
+    """rgb -> yuv420 -> rgb stays close (lossy only in 2x2 chroma), and the
+    device-side unpack matches the host oracle."""
+    from avi_talking_tpu.data.yuv import (
+        rgb_to_yuv420,
+        yuv420_packed_size,
+        yuv420_to_rgb,
+        yuv420_to_rgb_host,
+    )
+
+    rng = np.random.default_rng(0)
+    # constant-chroma image (luma gradient x one tint): 4:2:0 is near-
+    # lossless here, so this pins the matrix math itself
+    luma = np.linspace(0.1, 0.9, 32 * 32, dtype=np.float32).reshape(32, 32)
+    tint = np.asarray([1.0, 0.8, 0.6], np.float32)
+    img = np.stack([luma * t for t in tint], axis=-1)[None] * 255.0
+    img = np.repeat(img, 2, axis=0)
+    u8 = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    packed = rgb_to_yuv420(u8)
+    assert packed.shape == (2, yuv420_packed_size(32, 32))
+    assert packed.dtype == np.uint8
+    host = yuv420_to_rgb_host(packed, 32, 32)
+    err = np.abs(host * 255.0 - u8.astype(np.float32))
+    assert err.mean() < 1.5  # quantisation only (chroma nearly constant)
+    # worst case: random chroma at pixel rate still stays bounded
+    noisy = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
+    nerr = np.abs(
+        yuv420_to_rgb_host(rgb_to_yuv420(noisy), 32, 32) * 255.0
+        - noisy.astype(np.float32))
+    assert nerr.mean() < 60.0  # ~chroma variance; luma is preserved
+    # ... and luma IS preserved: the Y projection of the roundtrip matches
+    y_w = np.asarray([0.299, 0.587, 0.114], np.float32)
+    y_err = np.abs((yuv420_to_rgb_host(rgb_to_yuv420(noisy), 32, 32) * 255.0
+                    - noisy.astype(np.float32)) @ y_w)
+    assert y_err.mean() < 2.0
+    dev = np.asarray(jax.jit(
+        lambda p: yuv420_to_rgb(p, 32, 32))(jnp.asarray(packed)))
+    # device unpack uses bilinear chroma upsample (host oracle is nearest):
+    # same luma math, interiors match closely
+    assert np.abs(dev - host).max() < 0.15
+    assert np.abs(dev * 255.0 - u8.astype(np.float32)).mean() < 3.0
+    # odd sizes are rejected loudly
+    with pytest.raises(ValueError):
+        rgb_to_yuv420(u8[:, :31])
+    with pytest.raises(ValueError):
+        rgb_to_yuv420(img[:1])  # float input
+
+
+def test_encode_transports_agree():
+    """uint8 and yuv420 wire transports produce codes matching the float
+    path (u8 exactly — same values reach the encoder; yuv420 within the
+    chroma-subsample tolerance)."""
+    enc = EmocaEncoder(n_exp=6)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, (5, 16, 16, 3), dtype=np.uint8)
+    frames_f = u8.astype(np.float32) / 255.0
+
+    def codes(transport, frames):
+        pre = EmocaPreprocessor(encoder=enc, variables=variables, max_b=3,
+                                transport=transport)
+        return pre.encode_frames(frames)
+
+    ref = codes("float", frames_f)
+    got_u8 = codes("auto", u8)  # auto: uint8 in -> u8 wire
+    for k in ref:
+        np.testing.assert_allclose(got_u8[k], ref[k], atol=2e-5)
+    # float input + explicit u8 transport quantises to the same bytes
+    got_q = codes("u8", frames_f)
+    for k in ref:
+        np.testing.assert_allclose(got_q[k], ref[k], atol=2e-5)
+    got_yuv = codes("yuv420", u8)
+    for k in ref:
+        # lossy transport: codes close, not equal
+        assert np.abs(got_yuv[k] - ref[k]).max() < 0.35, k
+    # the packed-fetch path preserves key layout
+    assert sorted(ref) == sorted(got_u8) == sorted(got_yuv)
+
+
 def test_landmark_export_uses_unzeroed_rotation(tmp_path):
     """landmarks.npy must align with the (rotated) crops: the export
     projects with the encoder's raw global rotation, not the frontalized
