@@ -422,10 +422,19 @@ class AviTalkingPipeline:
         length_buckets: tuple = (64, 128, 256, 512),
         sample_rate: int = 16_000,
         return_vertices: bool = True,
+        stage_times: Optional[Dict[str, float]] = None,
     ) -> list[Dict[str, np.ndarray]]:
         """Batched serving path: one style-sampling dispatch + one animate
         dispatch per length bucket. Clips are framed, padded to the bucket
         boundary (so each bucket compiles once) and unpadded on return.
+
+        ``stage_times`` (optional dict) is filled with the per-stage host
+        wall of THIS call in ms: ``framing_ms`` (wav decode + (T,640)
+        framing), ``style_dispatch_ms`` (tokenise + async style dispatch),
+        ``prep_ms`` (bucket pad/stack + H2D), ``device_fetch_ms`` (the one
+        blocking sync: device compute + D2H wire together — splitting them
+        would add a tunnel round trip per batch). The InferenceServer
+        aggregates these plus per-request queue wait into its stats.
 
         Note on randomness: ONE PRNGKey(seed) covers the whole batch — the
         prior draws a single noise tensor across the batch, so the clips'
@@ -440,9 +449,13 @@ class AviTalkingPipeline:
         HF documents for wav2vec2-base."""
         from ..data.batching import pad_to_bucket
 
+        import time as _time
+
         assert len(wavs) == len(instructions)
+        st = stage_times if stage_times is not None else {}
         lfs = self.cfg.emote.flint.latent_frame_size
         buckets = tuple(b - b % lfs for b in length_buckets)
+        t0 = _time.perf_counter()
         frames_list, lens = [], []
         for wav in wavs:
             sr = sample_rate
@@ -451,8 +464,13 @@ class AviTalkingPipeline:
             f = frame_audio(wav, sr, pad_to_multiple=lfs)
             lens.append(f.shape[0])
             frames_list.append(f)
+        t1 = _time.perf_counter()
+        st["framing_ms"] = (t1 - t0) * 1e3
 
         styles = self.sample_style(instructions, jax.random.PRNGKey(seed), cond_scale)
+        t2 = _time.perf_counter()
+        st["style_dispatch_ms"] = (t2 - t1) * 1e3
+        st["prep_ms"] = st["device_fetch_ms"] = 0.0
 
         results: list = [None] * len(wavs)
         by_bucket: Dict[int, list] = {}
@@ -466,6 +484,7 @@ class AviTalkingPipeline:
                 )
             by_bucket.setdefault(fitting[0], []).append(i)
         for b, idxs in by_bucket.items():
+            tb = _time.perf_counter()
             # dp mesh: pad the batch dim to a shardable multiple (extra rows
             # repeat the first clip and are never read back)
             pad_n = (-len(idxs)) % self._dp()
@@ -479,6 +498,8 @@ class AviTalkingPipeline:
                                    self._shard_batch(jnp.asarray(batch)),
                                    self._shard_batch(styles[np.asarray(pidx)]),
                                    vl)
+            tf = _time.perf_counter()
+            st["prep_ms"] += (tf - tb) * 1e3
             # ONE D2H fetch per field, then numpy slicing per clip: on-device
             # `out[field][j, :T]` would eagerly compile a fresh
             # dynamic_slice per distinct clip length — ~0.5 s each through a
@@ -489,6 +510,7 @@ class AviTalkingPipeline:
             # FLAME-decode anywhere.
             host = {k: np.asarray(v) for k, v in out.items()
                     if return_vertices or k != "vertices"}
+            st["device_fetch_ms"] += (_time.perf_counter() - tf) * 1e3
             for j, i in enumerate(idxs):
                 T = lens[i]
                 res = {

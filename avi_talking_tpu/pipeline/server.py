@@ -68,8 +68,14 @@ class InferenceServer:
         assert self.cfg.max_batch <= max(self.cfg.batch_buckets)
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
+        # per-request: latency_ms, queue_wait_ms; per-batch: batch_size,
+        # padded_batch + the generate_batch stage breakdown (framing /
+        # style dispatch / prep+H2D / device+fetch) — the observability the
+        # p50 discrepancy hunt needs (VERDICT r4 item 3)
         self.stats: Dict[str, List[float]] = {
-            "latency_ms": [], "batch_size": [], "padded_batch": []}
+            "latency_ms": [], "queue_wait_ms": [], "batch_size": [],
+            "padded_batch": [], "framing_ms": [], "style_dispatch_ms": [],
+            "prep_ms": [], "device_fetch_ms": []}
         from concurrent.futures import ThreadPoolExecutor
 
         self._pool = ThreadPoolExecutor(
@@ -189,17 +195,23 @@ class InferenceServer:
         wavs = [r.wav for r in batch] + [batch[0].wav] * (padded - n)
         instrs = [r.instruction for r in batch] + (
             [batch[0].instruction] * (padded - n))
+        t_start = time.perf_counter()
+        stages: Dict[str, float] = {}
         outs = self.pipeline.generate_batch(
             wavs, instrs, seed=batch[0].seed,
             length_buckets=tuple(self.cfg.length_buckets),
             sample_rate=self.cfg.sample_rate,
             return_vertices=self.cfg.return_vertices,
+            stage_times=stages,
         )
         now = time.perf_counter()
         self.stats["batch_size"].append(n)
         self.stats["padded_batch"].append(padded)
+        for k, v in stages.items():
+            self.stats[k].append(v)
         for r, out in zip(batch, outs):
             self.stats["latency_ms"].append((now - r.t_submit) * 1e3)
+            self.stats["queue_wait_ms"].append((t_start - r.t_submit) * 1e3)
             r.future.set_result(out)
 
     # -- observability -------------------------------------------------------
@@ -209,3 +221,17 @@ class InferenceServer:
         if not lat:
             return {f"p{q}": float("nan") for q in qs}
         return {f"p{q}": float(np.percentile(lat, q)) for q in qs}
+
+    def stage_breakdown(self) -> Dict[str, float]:
+        """Median per-batch stage times (ms) + median per-request queue
+        wait: where a request's latency actually goes. ``device_fetch_ms``
+        is device compute + D2H wire together (one blocking sync per
+        batch; splitting them would cost an extra tunnel round trip)."""
+        keys = ("queue_wait_ms", "framing_ms", "style_dispatch_ms",
+                "prep_ms", "device_fetch_ms")
+        return {k: (float(np.median(self.stats[k])) if self.stats[k]
+                    else float("nan")) for k in keys}
+
+    def clear_stats(self) -> None:
+        for v in self.stats.values():
+            v.clear()

@@ -86,6 +86,15 @@ def test_latency_stats_and_close(pipe):
     s.generate(np.zeros(8000, np.float32), "x", timeout=300)
     pct = s.latency_percentiles()
     assert pct["p50"] > 0 and pct["p99"] >= pct["p50"]
+    # stage breakdown: every stage recorded, attribution sums to ~latency
+    bd = s.stage_breakdown()
+    for key in ("queue_wait_ms", "framing_ms", "style_dispatch_ms",
+                "prep_ms", "device_fetch_ms"):
+        assert np.isfinite(bd[key]) and bd[key] >= 0.0, key
+    stages_sum = sum(v for k, v in bd.items() if k != "queue_wait_ms")
+    assert stages_sum <= pct["p50"] * 1.05  # stages nest inside latency
+    s.clear_stats()
+    assert all(not v for v in s.stats.values())
     s.close()
     s.close()  # idempotent
     with pytest.raises(RuntimeError):
