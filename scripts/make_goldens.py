@@ -107,11 +107,22 @@ def portrait_golden():
     }
 
 
+def train_golden():
+    """Seeded 3-step losses of the four trainers (prior / emote geometric /
+    emoca / pirender) — case builders shared with test_golden.py via
+    tests/golden_cases.py."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from golden_cases import TRAIN_CASES
+
+    return {name: fn() for name, fn in TRAIN_CASES.items()}
+
+
 if __name__ == "__main__":
     goldens = {
         "tiny_pipeline.json": pipeline_golden(),
         "tiny_reconstruct.json": reconstruct_golden(),
         "tiny_portrait.json": portrait_golden(),
+        "tiny_train.json": train_golden(),
     }
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, data in goldens.items():
