@@ -21,6 +21,8 @@ Subcommands:
   reconstruct EMOCA-style single-image -> FLAME codes + geometry render
   stats      regenerate Mead coefficient statistics from a dataset root
   translate-captions  Style-B prose -> Style-A instructions (offline)
+  screen-videos  CelebV-Text screening: expressive-clip selection +
+             action intervals (celebv_screen_videos.py equivalent)
 
 Checkpoints/assets are optional: without them the models run random-init
 (compute-path smoke); pass --flame-npz / --checkpoint for real outputs.
@@ -36,6 +38,7 @@ def main(argv=None) -> int:
         importers,
         reconstruct,
         run,
+        screen_videos,
         train_emoca,
         train_emote,
         train_faceformer,
@@ -49,7 +52,7 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for mod in (run, reconstruct, train_emote, train_prior, train_faceformer,
                 train_faceformer_vert, train_emoca, train_pirender,
-                importers):
+                importers, screen_videos):
         mod.register(sub, common_args)
     args = p.parse_args(argv)
     return args.fn(args)
