@@ -55,8 +55,13 @@ class Wav2Vec2Config:
     #   B=4 T=200 0.70 | B=8 T=200 0.77 | B=16 T=200 0.89 | B=4 T=552 0.69
     #   B=8 T=552 1.23 | B=16 T=384 1.45 | B=32 T=200 1.73 | B=16 T=552 1.77
     # "auto" (default) enables the kernel when the static grid is big
-    # enough to win (B*H*T >= 48_000); True/False force. Ignored off-TPU
-    # (tests/CPU take the XLA path either way).
+    # enough to win: B*H*T >= 48_000 AND T >= 384. The T floor is an r5
+    # WHOLE-MODEL finding: the isolated-kernel sweep says B=32 T=200 wins
+    # 1.73x, but inside the full wav2vec2 grad the kernel LOSES there
+    # (B=32: 86.9 ms auto vs 84.5 forced-XLA; B=64: 191.4 vs 180.9 —
+    # the un-fused kernel boundary costs more than the kernel saves at
+    # short T, where XLA fuses softmax with its neighbours). True/False
+    # force. Ignored off-TPU (tests/CPU take the XLA path either way).
     use_pallas_attention: Any = "auto"  # "auto" | True | False
 
     @classmethod
@@ -246,7 +251,11 @@ class EncoderLayer(nn.Module):
         k = k.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, h, head_dim).transpose(0, 2, 1, 3)
         mode = c.use_pallas_attention
-        want = mode is True or (mode == "auto" and B * h * T >= 48_000)
+        # auto: grid big enough AND sequence long enough (see the config
+        # docstring — short-T shapes lose whole-model even when the
+        # isolated kernel wins)
+        want = mode is True or (
+            mode == "auto" and B * h * T >= 48_000 and T >= 384)
         use_pallas = False
         if want and (
             attn_bias is None or attn_bias.shape[1] == attn_bias.shape[2] == 1

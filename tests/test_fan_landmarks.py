@@ -251,6 +251,14 @@ def test_chunked_apply_shared_helper():
     # empty input fails loudly
     with pytest.raises(ValueError, match="empty"):
         chunked_apply(lambda c: c, frames[:0], 2)
+    # the pipelined (inflight>0) path returns the same values as the
+    # fully synchronous one, for every output arity
+    for fn in (lambda c: (c * 2, c.sum(-1)), lambda c: {"x": c + 1},
+               lambda c: c - 1):
+        sync = chunked_apply(fn, frames, 2, inflight=0)
+        pipe = chunked_apply(fn, frames, 2, inflight=3)
+        for s, p in zip(jax.tree.leaves(sync), jax.tree.leaves(pipe)):
+            np.testing.assert_allclose(s, p)
 
 
 def test_preprocess_with_detector_writes_landmarks_and_validity(tmp_path):

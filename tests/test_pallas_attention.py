@@ -361,5 +361,11 @@ def test_keybias_auto_policy_threshold(monkeypatch):
     assert calls == []
     big = jnp.asarray(np.random.default_rng(1)
                       .standard_normal((32, 400, 32)).astype(np.float32))
-    layer.apply(variables, big)  # 32*4*400 = 51_200 >= 48_000
+    layer.apply(variables, big)  # 32*4*400 = 51_200 >= 48_000, T >= 384
+    assert len(calls) == 1
+    # large grid but SHORT sequence: whole-model measurements show the
+    # kernel losing below T=384 (config docstring) -> XLA path
+    short = jnp.asarray(np.random.default_rng(2)
+                        .standard_normal((64, 200, 32)).astype(np.float32))
+    layer.apply(variables, short)  # 64*4*200 = 51_200 but T=200 < 384
     assert len(calls) == 1
