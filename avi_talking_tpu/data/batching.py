@@ -49,12 +49,18 @@ def chunked_apply(fn: Callable, frames: np.ndarray, max_b: int,
             res = (res,)
         return tuple(np.asarray(r)[:n] for r in res)
 
+    # device-resident inputs stay on device: pad ragged tails with jnp so a
+    # jax-array input is never pulled through D2H just to repeat its last
+    # frame (the fused detect path feeds device arrays here)
+    import jax.numpy as jnp
+
+    xp = np if isinstance(frames, np.ndarray) else jnp
     for i in range(0, T, max_b):
         chunk = frames[i : i + max_b]
         n = chunk.shape[0]
         if n < max_b:
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], max_b - n, axis=0)])
+            chunk = xp.concatenate(
+                [chunk, xp.repeat(chunk[-1:], max_b - n, axis=0)])
         pending.append((n, fn(jax.device_put(chunk))))
         while len(pending) > max(0, inflight):
             outs.append(fetch(pending.pop(0)))

@@ -58,27 +58,40 @@ def _warp_jit():
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnums=(3,))
-    def _warp(fr, c, s, S):
+    @partial(jax.jit, static_argnums=(3, 4))
+    def _warp(fr, c, s, S, out_u8=False):
         if fr.dtype == jnp.uint8:  # uint8 transport: normalise on device
             fr = fr.astype(jnp.float32) / 255.0
         grid = jnp.arange(S, dtype=jnp.float32) / (S - 1)  # [0, 1]
 
-        def one(img, ci, si):
-            x0 = ci[0] - si / 2.0
-            y0 = ci[1] - si / 2.0
-            xs = x0 + grid * si  # (S,)
-            ys = y0 + grid * si
-            sx = jnp.clip(xs, 0.0, img.shape[1] - 1.0)
-            sy = jnp.clip(ys, 0.0, img.shape[0] - 1.0)
-            yy = jnp.broadcast_to(sy[:, None], (S, S))
-            xx = jnp.broadcast_to(sx[None, :], (S, S))
-            return jnp.stack([
-                jax.scipy.ndimage.map_coordinates(
-                    img[..., ch], [yy, xx], order=1, mode="nearest")
-                for ch in range(img.shape[-1])], axis=-1)
+        def axis_weights(start, side, limit):
+            # clamped sample positions along one axis (edge clamp ==
+            # map_coordinates mode='nearest' for coords clipped in-range)
+            pos = jnp.clip(start + grid * side, 0.0, limit - 1.0)  # (S,)
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, limit - 1)
+            w = pos - i0.astype(jnp.float32)
+            return i0, i1, w
 
-        return jax.vmap(one)(fr, c, s)
+        def one(img, ci, si):
+            # the crop is an axis-aligned scale+translate, so bilinear
+            # sampling SEPARATES: one whole-row gather+lerp (H -> S), then
+            # one column gather+lerp (W -> S). Whole-row gathers keep the
+            # gather minor dims big (W*C contiguous) — the 4-point
+            # map_coordinates form was ~5x slower on v5e (tiny-trailing-dim
+            # gathers, the CLAUDE.md layout trap) at 15.8 ms/frame.
+            iy0, iy1, wy = axis_weights(ci[1] - si / 2.0, si, img.shape[0])
+            ix0, ix1, wx = axis_weights(ci[0] - si / 2.0, si, img.shape[1])
+            rows = (img[iy0] * (1.0 - wy)[:, None, None]
+                    + img[iy1] * wy[:, None, None])  # (S, W, C)
+            out = (rows[:, ix0] * (1.0 - wx)[None, :, None]
+                   + rows[:, ix1] * wx[None, :, None])  # (S, S, C)
+            return out
+
+        out = jax.vmap(one)(fr, c, s)
+        if out_u8:  # quantise ON device: 4x fewer D2H bytes for the crops
+            out = jnp.clip(jnp.rint(out * 255.0), 0.0, 255.0).astype(jnp.uint8)
+        return out
 
     return _warp
 
@@ -86,14 +99,15 @@ def _warp_jit():
 _WARP = None
 
 
-def warp_crop(frames, center, size, out_size: int):
+def warp_crop(frames, center, size, out_size: int, out_u8: bool = False):
     """Batched square crop: (T, H, W, 3), (T, 2), (T,) -> (T, S, S, 3).
 
     point2transform semantics: the square [center - size/2, center + size/2]
     maps onto [0, out_size - 1]; bilinear sampling, edge clamp (skimage
     warp's default 'constant' only differs outside the frame, where a face
     box rarely reaches; clamping avoids black borders poisoning the
-    encoder)."""
+    encoder). ``out_u8`` quantises to uint8 on device — 4x fewer D2H bytes
+    (the crops are stored as 8-bit PNGs anyway)."""
     import jax.numpy as jnp
 
     global _WARP
@@ -101,7 +115,7 @@ def warp_crop(frames, center, size, out_size: int):
         _WARP = _warp_jit()
     return np.asarray(_WARP(
         jnp.asarray(frames), jnp.asarray(center),
-        jnp.asarray(size), out_size))
+        jnp.asarray(size), out_size, out_u8))
 
 
 def landmarks_to_crop_space(
@@ -165,14 +179,27 @@ def detect_fullframe_landmarks(
     # FAN's optimal input (FaceDetector.optimal_landmark_detector_im_size)
     det_size = 256
     if box_detector is not None:
-        boxes = box_detector.best_box(frames)  # (T, 5)
+        # device-resident stage 1: full frames cross H2D ONCE, then box
+        # decode (device top-1 when available), 256-warp and FAN all
+        # consume the same device buffer — only boxes/landmarks are
+        # fetched. The r5 chain bench measured the old host-decode path
+        # (full score pyramids + re-shipped frames) at 3.2 frames/s.
+        dev = jax.device_put(frames)
+        if hasattr(box_detector, "best_box_device"):
+            boxes = box_detector.best_box_device(dev)  # (T, 5)
+        else:  # host decode (multi-face NMS path)
+            boxes = box_detector.best_box(frames)
         bw = boxes[:, 2] - boxes[:, 0]
         bh = boxes[:, 3] - boxes[:, 1]
         center0 = np.stack(
             [(boxes[:, 0] + boxes[:, 2]) / 2.0,
              (boxes[:, 1] + boxes[:, 3]) / 2.0 - 0.12 * bh], axis=-1)
         side0 = ((bw + bh) * (200.0 / 195.0)).astype(np.float32)
-        stage1 = warp_crop(frames, center0, side0, det_size)
+        global _WARP
+        if _WARP is None:
+            _WARP = _warp_jit()
+        stage1 = _WARP(dev, jnp.asarray(center0), jnp.asarray(side0),
+                       det_size)  # stays on device for the FAN pass
         lmk_ndc, scores = detector(stage1)  # [-1,1] of the stage-1 crop
         origin = center0 - side0[:, None] / 2.0
         lmk_px = (origin[:, None, :]

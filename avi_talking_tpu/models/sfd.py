@@ -179,6 +179,45 @@ class SfdDetector:
 
         self._fwd = jax.jit(fwd)
 
+        def best(v, x):
+            """Device-side TOP-1 decode: per frame, the globally highest-
+            scoring anchor across all 6 SSD scales, prior-decoded to a box
+            (same top-1 as the host path: greedy NMS always keeps the
+            max-score det, so NMS is a no-op for the argmax). Only a (B, 5)
+            tensor crosses D2H instead of the full score/reg pyramids —
+            the r5 chain bench measured those pyramid fetches at ~85% of
+            the whole detect->...->encode wall through the tunnel."""
+            olist = fwd(v, x)
+            B = x.shape[0]
+            best_score = jnp.full((B,), -jnp.inf, jnp.float32)
+            best_box = jnp.zeros((B, 4), jnp.float32)
+            for i in range(len(olist) // 2):
+                ocls, oreg = olist[i * 2], olist[i * 2 + 1]  # (B,H,W,2/4)
+                stride = float(2 ** (i + 2))
+                hw = ocls.shape[1] * ocls.shape[2]
+                score = ocls[..., 1].reshape(B, hw).astype(jnp.float32)
+                idx = jnp.argmax(score, axis=1)  # (B,)
+                sc = jnp.take_along_axis(score, idx[:, None], 1)[:, 0]
+                ws = (idx % ocls.shape[2]).astype(jnp.float32)
+                hs = (idx // ocls.shape[2]).astype(jnp.float32)
+                loc = jnp.take_along_axis(
+                    oreg.reshape(B, hw, 4).astype(jnp.float32),
+                    idx[:, None, None], 1)[:, 0]
+                # decode_priors math (face_alignment bbox.decode),
+                # prior = (cx, cy, 4*stride, 4*stride), var (0.1, 0.2)
+                cx = stride / 2 + ws * stride + loc[:, 0] * 0.1 * 4 * stride
+                cy = stride / 2 + hs * stride + loc[:, 1] * 0.1 * 4 * stride
+                bw = 4 * stride * jnp.exp(loc[:, 2] * 0.2)
+                bh = 4 * stride * jnp.exp(loc[:, 3] * 0.2)
+                box = jnp.stack([cx - bw / 2, cy - bh / 2,
+                                 cx + bw / 2, cy + bh / 2], axis=1)
+                better = sc > best_score
+                best_score = jnp.where(better, sc, best_score)
+                best_box = jnp.where(better[:, None], box, best_box)
+            return jnp.concatenate([best_box, best_score[:, None]], axis=1)
+
+        self._best = jax.jit(best)
+
     def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
         from ..data.batching import chunked_apply
 
@@ -224,6 +263,30 @@ class SfdDetector:
                 prev = dets[t][np.argmax(dets[t][:, 4])]
             if prev is None:
                 # no face yet: whole frame, zero confidence
+                out[t] = [0.0, 0.0, W - 1.0, H - 1.0, 0.0]
+            else:
+                out[t] = prev
+        return out
+
+    def best_box_device(self, frames) -> np.ndarray:
+        """``best_box`` with the decode ON DEVICE: per chunk only a (n, 5)
+        [box, score] tensor is fetched (vs the full 6-scale score/reg
+        pyramids the host decode needs — the transfer that dominated the
+        full-frame preprocessing chain). ``frames`` may be a numpy array
+        or a device-resident jax array ([0, 1] float or uint8). The
+        prev-frame fallback for sub-threshold frames runs on host over
+        the tiny fetched boxes, preserving ``best_box`` semantics."""
+        from ..data.batching import chunked_apply
+
+        bs = chunked_apply(
+            lambda c: self._best(self.variables, c), frames, self.max_b)
+        T, (H, W) = frames.shape[0], frames.shape[1:3]
+        out = np.zeros((T, 5), np.float32)
+        prev = None
+        for t in range(T):
+            if bs[t, 4] >= self.threshold:
+                prev = bs[t]
+            if prev is None:
                 out[t] = [0.0, 0.0, W - 1.0, H - 1.0, 0.0]
             else:
                 out[t] = prev

@@ -435,18 +435,19 @@ def main():
             size = (old_size * 1.25).astype(np.float32)
             center, size = smooth_track(
                 center, size, validity=np.clip(scores.mean(-1), 0, None))
-            crops = np.clip(np.rint(
-                warp_crop(full, center, size, 224) * 255.0),
-                0, 255).astype(np.uint8)
+            crops = warp_crop(full, center, size, 224, out_u8=True)
             pre.encode_frames(crops)
             parser(crops)
 
         chain()  # warmup
-        t0 = time.perf_counter()
-        chain()
+        ts = []
+        for _ in range(3):  # host-orchestrated multi-dispatch pipeline:
+            t0 = time.perf_counter()  # single-shot timing is tunnel-noise-
+            chain()  # dominated (observed 1.9-4.6 s for the same work)
+            ts.append(time.perf_counter() - t0)
         _emit("preprocess_chain_frames_per_s",
-              round(Tc / (time.perf_counter() - t0), 1),
-              "frames_per_s_sfd_fan_crop_parse_encode_480x270")
+              round(Tc / float(np.median(ts)), 1),
+              "frames_per_s_sfd_fan_crop_parse_encode_480x270_median_of_3")
 
     try:
         _chain_section()

@@ -191,3 +191,26 @@ def test_sfd_detector_flow_and_best_box_fallback():
     if all(len(r) == 0 for r in res):
         # no detections anywhere: whole-frame fallback, zero confidence
         np.testing.assert_allclose(bb[0], [0, 0, 63, 63, 0])
+    # device decode under the same high threshold: same fallback
+    np.testing.assert_allclose(det.best_box_device(frames)[0],
+                               bb[0], atol=1e-4)
+
+
+def test_sfd_best_box_device_matches_host_top1():
+    """The on-device top-1 decode (best_box_device — fetches (T, 5)
+    instead of the 6-scale score/reg pyramids) returns the same box as
+    the host NMS path's argmax when a detection clears the threshold."""
+    net = S3FD()
+    rng = np.random.default_rng(3)
+    v = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    # accept everything: host keeps the global argmax det, device returns
+    # the same anchor decoded with the same prior math
+    det = SfdDetector(v, threshold=-1.0, candidate_floor=-1.0)
+    frames = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+    host = det.best_box(frames)
+    dev = det.best_box_device(frames)
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
+    # uint8 transport gives the same boxes
+    u8 = (frames * 255).astype(np.uint8)
+    dev_u8 = det.best_box_device(u8)
+    np.testing.assert_allclose(dev_u8[:, :4], host[:, :4], atol=1.5)
