@@ -149,7 +149,10 @@ def screen_videos(
         if clip_info is None:
             print(f"[celebv] no clip info for {ref_id}; skipped")
             continue
-        for action in set(actions).intersection(remaining):
+        # sorted: set-intersection order is hash-seed-randomised per
+        # process, which would make quota-boundary selections (and the
+        # manifest row order) irreproducible between identical runs
+        for action in sorted(set(actions).intersection(remaining)):
             counts[action] = counts.get(action, 0) + 1
             if counts[action] > max_per_action:
                 remaining.remove(action)

@@ -289,6 +289,8 @@ def _detect_crop_stream(
                                           box_detector=box_detector)
         lmks.append(l[:n])
         scs.append(s[:n])
+    if not lmks:  # empty source (e.g. zero-frame video): skip the clip
+        return None, None, validity
     lmk_px = np.concatenate(lmks)
     scores = np.concatenate(scs)
     det_val = np.clip(scores.mean(-1), 0.0, None).astype(np.float32)
@@ -507,13 +509,14 @@ def preprocess_clip_video(
         frames, det_lmk, validity = _detect_crop_stream(
             _chunks, blk, detector, box_detector, crop_size, crop_scale,
             crop_smooth_sigma, validity)
+        if frames is None:  # zero-frame decode: skip like the folder path
+            return None
         raw = pre.encode_frames(frames)
     else:
         chunks = list(iter_video_yuv420(video_path, fps=fps, chunk=blk,
                                         info=info))
         if not chunks:
             return None
-        packed = np.concatenate(chunks)
         if write_detections or detector is not None or parser is not None:
             frames = np.concatenate([_rgb(c) for c in chunks])
             if detector is not None:
@@ -525,7 +528,8 @@ def preprocess_clip_video(
             raw = pre.encode_frames(frames)
         else:
             frames = None  # frame-free: packed rows straight to the device
-            raw = pre.encode_packed_yuv420(packed, info.height, info.width)
+            raw = pre.encode_packed_yuv420(
+                np.concatenate(chunks), info.height, info.width)
     clip_path = os.path.join(out_dir, name)
     wav_src = None
     if extract_audio:

@@ -110,6 +110,12 @@ def _decode_cmd(path: str, info: VideoInfo, fps: Optional[float]) -> list:
     filters = []
     if fps is not None:
         filters.append(f"fps={fps}")
+    # real H.264/HEVC sources are almost always LIMITED range (Y 16-235)
+    # and HD ones BT.709 — data.yuv reconstructs with the full-range BT.601
+    # matrix, so normalise both here (otherwise every ingested frame would
+    # be contrast-compressed and slightly hue-shifted)
+    filters.append("scale=in_range=auto:out_range=full:"
+                   "out_color_matrix=bt601")
     filters.append(f"crop={info.width}:{info.height}:0:0")  # even planes
     return [ffmpeg, "-v", "error", "-i", path, "-vf", ",".join(filters),
             "-f", "rawvideo", "-pix_fmt", "yuv420p", "-"]
@@ -127,12 +133,17 @@ def iter_video_yuv420(
     to a fixed frame rate (the reference's 25 fps contract); None keeps
     the source rate. Host memory stays bounded at one chunk regardless of
     clip length or resolution."""
+    import tempfile
+
     info = info or probe_video(path)
     fsz = info.frame_bytes
+    # stderr to a temp FILE, not a pipe: an un-drained stderr pipe fills
+    # its ~64 KB buffer on decoder-error spam and deadlocks the stdout read
+    errf = tempfile.TemporaryFile()
     proc = subprocess.Popen(_decode_cmd(path, info, fps),
-                            stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE)
+                            stdout=subprocess.PIPE, stderr=errf)
     assert proc.stdout is not None
+    eof = False
     try:
         while True:
             want = fsz * chunk
@@ -147,15 +158,22 @@ def iter_video_yuv420(
                 yield np.frombuffer(
                     bytes(buf[: n_full * fsz]), np.uint8).reshape(n_full, fsz)
             if len(buf) < want:
+                eof = True
                 break
     finally:
         proc.stdout.close()
-        err = proc.stderr.read() if proc.stderr else b""
         rc = proc.wait()
-        if rc not in (0, None) and err:
+        errf.seek(0)
+        err = errf.read()
+        errf.close()
+        # raise on any nonzero exit ONCE the stream ended naturally — a
+        # killed decoder (e.g. OOM, rc=-9, empty stderr) must not pass off
+        # a truncated clip as complete. A consumer that stopped iterating
+        # early (eof False) killed ffmpeg itself via SIGPIPE: not an error.
+        if eof and rc not in (0, None):
             raise RuntimeError(
                 f"ffmpeg decode of {path} failed (rc={rc}): "
-                f"{err.decode(errors='replace')[:500]}")
+                f"{err.decode(errors='replace')[:500] or 'no stderr'}")
 
 
 def read_video_frames(

@@ -67,16 +67,15 @@ def yuv420_to_rgb_host(packed: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def yuv420_to_rgb(packed, h: int, w: int):
     """Device-side unpack: (B, H*W*3/2) uint8 -> (B, H, W, 3) float32 in
-    [0, 1]. Traced under jit (h, w static). Chroma is upsampled with a
-    bilinear resize (smoother than the 2x nearest repeat; negligible next
-    to any downstream conv tower)."""
-    import jax
+    [0, 1]. Traced under jit (h, w static). Chroma is upsampled with the
+    same 2x NEAREST repeat as the host oracle — device and host paths must
+    produce identical RGB, or the same clip would get different pseudo-GT
+    codes depending on whether the frame-free or frames path ran it."""
     import jax.numpy as jnp
 
     y, u, v = _split(packed, h, w, jnp)
-    b = packed.shape[0]
-    u = jax.image.resize(u, (b, h, w), "bilinear")
-    v = jax.image.resize(v, (b, h, w), "bilinear")
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
     return _combine(y, u, v, jnp)
 
 

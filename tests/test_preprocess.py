@@ -89,9 +89,9 @@ def test_yuv420_roundtrip_and_device_unpack():
     assert y_err.mean() < 2.0
     dev = np.asarray(jax.jit(
         lambda p: yuv420_to_rgb(p, 32, 32))(jnp.asarray(packed)))
-    # device unpack uses bilinear chroma upsample (host oracle is nearest):
-    # same luma math, interiors match closely
-    assert np.abs(dev - host).max() < 0.15
+    # device and host unpacks are the SAME math (nearest chroma repeat):
+    # the frame-free and frames ingestion paths must agree exactly
+    assert np.abs(dev - host).max() < 1e-5
     assert np.abs(dev * 255.0 - u8.astype(np.float32)).mean() < 3.0
     # odd sizes are rejected loudly
     with pytest.raises(ValueError):
