@@ -22,14 +22,15 @@ from avi_talking_tpu.data.yuv import yuv420_packed_size, yuv420_to_rgb_host
 W, H = 32, 24
 
 
-def _make_video(path, frames_packed: np.ndarray, nsamples: int = 4 * 640):
+def _make_video(path, frames_packed: np.ndarray, nsamples: int = 4 * 640,
+                fail_decode: bool = False):
     """A 'video': npy of (T, H*W*3/2) uint8 rows + a meta sidecar."""
     np.save(str(path) + ".npy", frames_packed)
     with open(str(path), "wb") as f:
         f.write(b"fakevideo")  # the stubs only read the sidecars
     with open(str(path) + ".meta.json", "w") as f:
         json.dump({"width": W, "height": H, "fps": "25/1",
-                   "nsamples": nsamples}, f)
+                   "nsamples": nsamples, "fail_decode": fail_decode}, f)
 
 
 _STUB_FFMPEG = r"""
@@ -40,7 +41,13 @@ src = args[args.index("-i") + 1]
 meta = json.load(open(src + ".meta.json"))
 if "rawvideo" in args:
     data = __import__("numpy").load(src + ".npy")
-    sys.stdout.buffer.write(data.tobytes())
+    raw = data.tobytes()
+    if meta.get("fail_decode"):  # die mid-stream with a partial frame
+        sys.stdout.buffer.write(raw[: len(raw) // 2 + 7])
+        sys.stdout.buffer.flush()
+        sys.stderr.write("error while decoding MB 12 34\n")
+        sys.exit(3)
+    sys.stdout.buffer.write(raw)
 elif "-vn" in args:
     out = args[-1]
     n = meta["nsamples"]
@@ -139,6 +146,49 @@ def test_missing_ffmpeg_is_loud(tmp_path, monkeypatch):
     _make_video(vid, _packed(1))
     with pytest.raises(FfmpegMissingError, match="preprocess-mead"):
         list(iter_video_yuv420(str(vid)))
+
+
+def test_decoder_death_raises_not_truncates(tmp_path, monkeypatch):
+    """A decoder that dies mid-stream (nonzero exit after EOF) raises
+    instead of passing off the partial clip as complete — and the full
+    frames decoded before the death are still surfaced in the error path,
+    never silently written as pseudo-GT."""
+    from avi_talking_tpu.data.videoio import iter_video_yuv420
+
+    _install_stubs(tmp_path, monkeypatch)
+    vid = tmp_path / "corrupt.mp4"
+    _make_video(vid, _packed(6), fail_decode=True)
+    with pytest.raises(RuntimeError, match="rc=3"):
+        list(iter_video_yuv420(str(vid), chunk=2))
+    # early consumer abort is NOT an error (we killed ffmpeg ourselves)
+    ok = tmp_path / "ok.mp4"
+    _make_video(ok, _packed(6))
+    it = iter_video_yuv420(str(ok), chunk=2)
+    next(it)
+    it.close()  # no raise
+
+
+def test_preprocess_clip_video_skips_empty_video(tmp_path, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from avi_talking_tpu.data.preprocess import (
+        EmocaPreprocessor,
+        preprocess_clip_video,
+    )
+    from avi_talking_tpu.models.emoca import EmocaEncoder
+
+    _install_stubs(tmp_path, monkeypatch)
+    vid = tmp_path / "empty.mp4"
+    _make_video(vid, _packed(0), nsamples=0)
+    enc = EmocaEncoder(n_exp=6)
+    pre = EmocaPreprocessor(
+        encoder=enc,
+        variables=enc.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3))),
+        max_b=2)
+    assert preprocess_clip_video(
+        pre, str(vid), str(tmp_path / "out"), write_detections=False,
+        extract_audio=False) is None
 
 
 def test_extract_wav(tmp_path, monkeypatch):
