@@ -141,8 +141,14 @@ def _on_tpu() -> bool:
     return plat in ("tpu", "axon")
 
 
+def _auto_tile(height: int, width: int, n_faces: int) -> int:
+    """Tile-size pick for ``rasterize_auto(tile=None)`` — see its docstring."""
+    return 56 if (height % 56 == 0 and width % 56 == 0
+                  and n_faces <= 20000) else 32
+
+
 def rasterize_auto(vertices, faces, attributes, height, width,
-                   tile=32, cap=1024, chunk=2048, backend=None,
+                   tile=None, cap=1024, chunk=2048, backend=None,
                    per_corner=False):
     """Batch rasterization through the fastest available path.
 
@@ -150,11 +156,23 @@ def rasterize_auto(vertices, faces, attributes, height, width,
     4.6 ms/frame < XLA binned 9.6 ms < dense scan 56 ms. Meshes too small
     to bin (or odd sizes) fall back to the dense path; non-TPU backends use
     the XLA binned path (Mosaic kernels are TPU-only).
+    ``tile``: None picks per image size — 56 where it divides both dims
+    (224^2, the EMOTE neural-loss resolution: measured fwd 2.44 / grad
+    2.93 ms vs tile=32's 3.10 / 3.94 on v5e; overflow past ``cap`` drops
+    farthest-first, see ``rasterize_binned``), else the 32 default that
+    won the 256^2 sweep. The 56 pick is gated on F <= 20k: per-tile face
+    counts scale with tile area x mesh density, and for BFM-class meshes
+    (~70k faces, a FRONT-FACING patch where every binned face can be
+    visible) tile=56 would push counts past even render_bfm's cap=4096 —
+    farthest-first dropping then cuts visible geometry, not occluded
+    back-of-head faces as on full-head FLAME meshes.
     ``backend``: None (auto) | "pallas" | "binned" | "dense".
     ``per_corner``: attributes are (F, 3, C) face-corner values (UV seams)
     instead of (V, C) — supported by every backend; a leading batch dim
     ((B, F, 3, C) / (B, V, C)) pairs attributes with the vertex batch.
     """
+    if tile is None:
+        tile = _auto_tile(height, width, faces.shape[0])
     can_bin = faces.shape[0] >= 4096 and height % tile == 0 and width % tile == 0
     if backend is None:
         backend = ("pallas" if _on_tpu() else "binned") if can_bin else "dense"
@@ -259,13 +277,25 @@ def _bin_faces(vertices, faces, height, width, tile, cap):
     tri = vertices[faces]  # (F, 3, 3)
     overlap = _face_tile_overlap(vertices, faces, height, width, tile)
 
-    # compaction via top_k on an index-keyed score: ~5x faster than the
-    # vmapped jnp.where(size=cap) lowering on v5e (1.3 ms vs 6.5 ms at
-    # 64 tiles x 9976 faces). Score 2F-f orders kept faces by ascending
-    # face index (stable, same semantics as where); zeros mark non-overlaps.
-    scores = jnp.where(overlap, 2 * F - jnp.arange(F, dtype=jnp.int32)[None], 0)
+    # compaction via top_k on a score key: ~5x faster than the vmapped
+    # jnp.where(size=cap) lowering on v5e (1.3 ms vs 6.5 ms at 64 tiles x
+    # 9976 faces). The score is DEPTH-keyed (nearest face highest) so a
+    # tile past ``cap`` drops its FARTHEST faces first — overflow then
+    # degrades to culling occluded geometry instead of whichever faces
+    # happen to carry high indices (which could drop the visible winner).
+    # zref keeps scores positive without a large additive constant that
+    # would eat float32 mantissa (depth resolution survives).
+    zmin = jax.lax.stop_gradient(tri[:, :, 2].min(axis=1))  # (F,)
+    zref = zmin.max() + 1.0
+    scores = jnp.where(overlap, zref - zmin[None], 0.0)
     top_vals, top_idx = jax.lax.top_k(scores, min(cap, F))
     face_ids = jnp.where(top_vals > 0, top_idx, F)
+    # restore ascending-face-id order within each tile: stage 2 breaks
+    # exact-z ties by FIRST table slot (jnp.argmin / the Pallas kernel's
+    # smallest-row rule), and the dense path resolves them by lowest face
+    # id — sorting keeps the three backends bit-identical when not
+    # overflowing. The F sentinel sorts to the tail on its own.
+    face_ids = jnp.sort(face_ids, axis=1)
     if cap > F:  # pad to the requested table width with the sentinel
         face_ids = jnp.concatenate(
             [face_ids, jnp.full((n_tiles, cap - F), F, face_ids.dtype)], axis=1
@@ -324,8 +354,13 @@ def rasterize_binned(
     static shapes). Stage 2 evaluates barycentrics only for the <=cap faces
     per tile, a ~F/cap work reduction over ``rasterize`` on meshes whose
     faces are spatially coherent (measured 4.3x on FLAME at 256^2, see
-    docstring bench note). Faces beyond ``cap`` in a tile are dropped —
-    choose cap for the mesh density (1024 is safe for FLAME at <=512^2).
+    docstring bench note). A tile past ``cap`` drops its FARTHEST faces
+    first (depth-keyed top_k in ``_bin_faces``) so mild overflow culls
+    occluded geometry, not the visible winner; a 56^2-pixel tile can show
+    at most ~tile^2/avg-tri-area distinct winners, so cap=1024 stays
+    visually exact for FLAME-density meshes even when ``bin_overflow``
+    reports counts above it. Size cap by ``bin_overflow`` when exact
+    parity with the dense path matters (e.g. render_bfm's 4096).
     """
     F = faces.shape[0]
     C = attributes.shape[-1]

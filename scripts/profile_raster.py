@@ -44,7 +44,7 @@ def main():
         return (time.perf_counter() - t0) / n * 1e3  # ms
 
     for H in (256, 224):
-        for tile, cap in ((64, 2048), (32, 1024), (32, 512)):
+        for tile, cap in ((64, 2048), (56, 1024), (32, 1024), (32, 512)):
             if H % tile:
                 continue
             t_xla = timeit(
